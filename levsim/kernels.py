@@ -1,0 +1,1035 @@
+"""String-metric kernels: exact re-implementations of the reference API.
+
+Every public function here mirrors one export of the reference library
+``Levenshtein`` (rapidfuzz/Levenshtein v0.27.3).  The normative spec is the
+reference's docstrings (``/root/reference/src/Levenshtein/__init__.py``), the
+in-repo C++ for the median/set/seq family
+(``src/Levenshtein/Levenshtein-c/_levenshtein.{hpp,cpp}``) and the golden
+values in ``/root/reference/tests/``.  All algorithms are textbook/public:
+Wagner-Fischer DP, Jaro(-Winkler), greedy/quick/set median (Kruskal-style
+greedy consensus), Munkres-Blackman assignment.
+
+These are the *scalar* reference kernels used for golden tests and as the
+per-group engine inside ``applyInPandas`` consensus.  The vectorized batch
+scorers used by the Spark pandas UDFs live in ``levsim.batch`` and are tested
+for equality against these.
+
+No code is copied from the reference; the median/seq/set family follows the
+documented algorithm semantics (cited per-function) re-derived in Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+__all__ = [
+    "distance",
+    "ratio",
+    "hamming",
+    "jaro",
+    "jaro_winkler",
+    "editops",
+    "opcodes",
+    "matching_blocks",
+    "apply_edit",
+    "subtract_edit",
+    "inverse",
+    "median",
+    "median_improve",
+    "quickmedian",
+    "setmedian",
+    "setratio",
+    "seqratio",
+    "indel_distance",
+]
+
+StrOrBytes = Union[str, bytes]
+
+
+# ---------------------------------------------------------------------------
+# string conversion (reference: RF_String / convert_string, _levenshtein.hpp:76-90)
+# ---------------------------------------------------------------------------
+
+
+def _codes(s: StrOrBytes) -> np.ndarray:
+    """str/bytes -> uint32 code-point array (reference RF_UINT8/16/32 unified)."""
+    if isinstance(s, bytes):
+        return np.frombuffer(s, dtype=np.uint8).astype(np.uint32)
+    if isinstance(s, str):
+        # UTF-32-LE round-trip == PEP-393 code points == RF_UINT32
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).copy()
+    raise TypeError("Expected string or bytes")
+
+
+def _check_same_type(s1: StrOrBytes, s2: StrOrBytes) -> None:
+    # reference: module docstring __init__.py:12-14 — can't mix str and bytes
+    if isinstance(s1, bytes) != isinstance(s2, bytes):
+        raise TypeError("Expected two strings or two bytes objects")
+
+
+def _apply_processor(processor, s1, s2):
+    if processor is not None:
+        return processor(s1), processor(s2)
+    return s1, s2
+
+
+def _from_codes(codes: Iterable[int]) -> str:
+    return "".join(chr(int(c)) for c in codes)
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein / Indel DP core
+# ---------------------------------------------------------------------------
+
+
+def _strip_common(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Strip common prefix and suffix (valid for unit-cost edit distance)."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return a, b
+    neq = a[:n] != b[:n]
+    pre = int(np.argmax(neq)) if neq.any() else n
+    a, b = a[pre:], b[pre:]
+    n = min(len(a), len(b))
+    if n == 0:
+        return a, b
+    neq = a[len(a) - n:][::-1] != b[len(b) - n:][::-1]
+    suf = int(np.argmax(neq)) if neq.any() else n
+    if suf:
+        a, b = a[: len(a) - suf], b[: len(b) - suf]
+    return a, b
+
+
+def _dp_distance(a: np.ndarray, b: np.ndarray, ins: int, dele: int, sub: int) -> int:
+    """Generalized weighted Levenshtein via two-row DP, vectorized per row.
+
+    Transforms ``a`` into ``b``: deleting a char of ``a`` costs ``dele``,
+    inserting a char of ``b`` costs ``ins``, substitution costs ``sub``.
+    The row-internal dependency new[j] = min(new[j-1]+ins, cand[j]) is solved
+    with the min-plus prefix-scan identity:
+      new[j] = ins*j + cummin(cand[j] - ins*j).
+    """
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb * ins
+    if lb == 0:
+        return la * dele
+    # substitution never pays if costlier than delete+insert
+    eff_sub = min(sub, ins + dele)
+    jr = np.arange(1, lb + 1, dtype=np.int64)
+    prev = jr * ins
+    prev = np.concatenate(([0], prev))
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(la):
+        neq = (b != a[i]).astype(np.int64)
+        cand = np.minimum(prev[1:] + dele, prev[:-1] + neq * eff_sub)
+        # prefix scan for the insertion chain, seeded by cur[0]
+        cur0 = (i + 1) * dele
+        t = np.minimum.accumulate(np.minimum(cand - jr * ins, cur0))
+        cur[0] = cur0
+        cur[1:] = t + jr * ins
+        prev, cur = cur, prev
+    return int(prev[lb])
+
+
+def distance(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    weights: Tuple[int, int, int] = (1, 1, 1),
+    processor=None,
+    score_cutoff: Optional[int] = None,
+    score_hint: Optional[int] = None,
+) -> int:
+    """Weighted Levenshtein distance (reference ``__init__.py:65-130``).
+
+    ``score_cutoff``: if the distance exceeds it, ``score_cutoff + 1`` is
+    returned instead (``__init__.py:84-88``).  ``score_hint`` is a
+    performance hint only and does not change results.
+    """
+    del score_hint
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    ins, dele, sub = weights
+    if ins < 0 or dele < 0 or sub < 0:
+        raise ValueError("weights have to be non-negative")
+    a, b = _codes(s1), _codes(s2)
+    if ins == dele:  # prefix/suffix strip is exact when ins == del
+        a, b = _strip_common(a, b)
+    d = _dp_distance(a, b, ins, dele, sub)
+    if score_cutoff is not None and d > score_cutoff:
+        return score_cutoff + 1
+    return d
+
+
+def indel_distance(s1: StrOrBytes, s2: StrOrBytes, *, processor=None) -> int:
+    """Indel distance = insertions+deletions only = len1+len2-2*LCS."""
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    a, b = _strip_common(_codes(s1), _codes(s2))
+    return _dp_distance(a, b, 1, 1, 2)
+
+
+def ratio(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    processor=None,
+    score_cutoff: Optional[float] = None,
+) -> float:
+    """Normalized Indel similarity ``1 - dist/(len1+len2)`` in [0, 1]
+    (reference ``__init__.py:133-179``); below ``score_cutoff`` -> 0.0."""
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    a, b = _codes(s1), _codes(s2)
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        sim = 1.0
+    else:
+        sa, sb = _strip_common(a, b)
+        sim = 1.0 - _dp_distance(sa, sb, 1, 1, 2) / lensum
+    if score_cutoff is not None and sim < score_cutoff:
+        return 0.0
+    return sim
+
+
+def hamming(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    pad: bool = True,
+    processor=None,
+    score_cutoff: Optional[int] = None,
+) -> int:
+    """Hamming distance (reference ``__init__.py:182-218``): number of
+    differing positions; with ``pad`` the length difference counts, without
+    it unequal lengths raise ``ValueError``."""
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    a, b = _codes(s1), _codes(s2)
+    if len(a) != len(b) and not pad:
+        raise ValueError("Sequences are not the same length.")
+    n = min(len(a), len(b))
+    d = int(np.count_nonzero(a[:n] != b[:n])) + abs(len(a) - len(b))
+    if score_cutoff is not None and d > score_cutoff:
+        return score_cutoff + 1
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Jaro / Jaro-Winkler
+# ---------------------------------------------------------------------------
+
+
+def _jaro_codes(p: np.ndarray, t: np.ndarray) -> float:
+    l1, l2 = len(p), len(t)
+    if l1 == 0 and l2 == 0:
+        return 1.0
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    bound = max(l1, l2) // 2
+    if bound > 0:
+        bound -= 1
+    t_flags = np.zeros(l2, dtype=bool)
+    p_match: List[int] = []  # indices into p, in order
+    t_match_idx: List[int] = []
+    for i in range(l1):
+        lo = i - bound if i > bound else 0
+        hi = min(l2, i + bound + 1)
+        for j in range(lo, hi):
+            if not t_flags[j] and t[j] == p[i]:
+                t_flags[j] = True
+                p_match.append(i)
+                t_match_idx.append(j)
+                break
+    m = len(p_match)
+    if m == 0:
+        return 0.0
+    # transpositions: compare match sequences positionally
+    seq1 = p[np.array(p_match)]
+    seq2 = t[np.sort(np.array(t_match_idx))]
+    transpositions = int(np.count_nonzero(seq1 != seq2)) // 2
+    return (m / l1 + m / l2 + (m - transpositions) / m) / 3.0
+
+
+def jaro(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    processor=None,
+    score_cutoff: Optional[float] = None,
+) -> float:
+    """Jaro similarity in [0, 1] (reference ``__init__.py:221-244``)."""
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    sim = _jaro_codes(_codes(s1), _codes(s2))
+    if score_cutoff is not None and sim < score_cutoff:
+        return 0.0
+    return sim
+
+
+def jaro_winkler(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    prefix_weight: float = 0.1,
+    processor=None,
+    score_cutoff: Optional[float] = None,
+) -> float:
+    """Jaro-Winkler similarity (reference ``__init__.py:247-284``):
+    Jaro boosted by up to 4 chars of common prefix; ``prefix_weight``
+    outside [0, 0.25] raises ``ValueError``."""
+    if not (0.0 <= prefix_weight <= 0.25):
+        raise ValueError("prefix_weight has to be in the range 0.0 - 0.25")
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    a, b = _codes(s1), _codes(s2)
+    sim = _jaro_codes(a, b)
+    if sim > 0.7:
+        n = min(len(a), len(b), 4)
+        prefix = 0
+        for k in range(n):
+            if a[k] != b[k]:
+                break
+            prefix += 1
+        sim += prefix * prefix_weight * (1.0 - sim)
+    if score_cutoff is not None and sim < score_cutoff:
+        return 0.0
+    return sim
+
+
+# ---------------------------------------------------------------------------
+# Edit scripts: editops / opcodes / matching_blocks / apply / subtract / inverse
+# Triple & 5-tuple conventions per reference __init__.py:314-433.
+# ---------------------------------------------------------------------------
+
+Editop = Tuple[str, int, int]
+Opcode = Tuple[str, int, int, int, int]
+
+
+def _editops_from_strings(s1: StrOrBytes, s2: StrOrBytes) -> List[Editop]:
+    _check_same_type(s1, s2)
+    a, b = _codes(s1), _codes(s2)
+    la, lb = len(a), len(b)
+    # full DP matrix + backtrace; preference order tuned to reproduce the
+    # reference's documented outputs (__init__.py:331-332).
+    m = np.zeros((la + 1, lb + 1), dtype=np.int32)
+    m[0, :] = np.arange(lb + 1)
+    m[:, 0] = np.arange(la + 1)
+    jr = np.arange(1, lb + 1, dtype=np.int32)
+    for i in range(1, la + 1):
+        neq = (b != a[i - 1]).astype(np.int32)
+        cand = np.minimum(m[i - 1, 1:] + 1, m[i - 1, :-1] + neq)
+        t = np.minimum.accumulate(np.minimum(cand - jr, i))
+        m[i, 1:] = t + jr
+    ops: List[Editop] = []
+    i, j = la, lb
+    while i > 0 or j > 0:
+        cur = m[i, j]
+        if i > 0 and j > 0 and a[i - 1] == b[j - 1] and m[i - 1, j - 1] == cur:
+            i, j = i - 1, j - 1
+            continue
+        if i > 0 and j > 0 and m[i - 1, j - 1] + 1 == cur:
+            ops.append(("replace", i - 1, j - 1))
+            i, j = i - 1, j - 1
+        elif j > 0 and m[i, j - 1] + 1 == cur:
+            ops.append(("insert", i, j - 1))
+            j -= 1
+        else:
+            ops.append(("delete", i - 1, j))
+            i -= 1
+    ops.reverse()
+    return ops
+
+
+def _editops_to_opcodes(ops: Sequence[Editop], len1: int, len2: int) -> List[Opcode]:
+    res: List[Opcode] = []
+    spos = dpos = 0
+    k = 0
+    n = len(ops)
+    while k < n:
+        op, i, j = ops[k][0], ops[k][1], ops[k][2]
+        if op == "equal":  # tolerated on input, never emitted by editops
+            k += 1
+            continue
+        if i > spos or j > dpos:
+            res.append(("equal", spos, i, dpos, j))
+            spos, dpos = i, j
+        if op == "replace":
+            k2 = k
+            while (
+                k2 < n
+                and ops[k2][0] == "replace"
+                and ops[k2][1] == spos + (k2 - k)
+                and ops[k2][2] == dpos + (k2 - k)
+            ):
+                k2 += 1
+            cnt = k2 - k
+            res.append(("replace", spos, spos + cnt, dpos, dpos + cnt))
+            spos += cnt
+            dpos += cnt
+            k = k2
+        elif op == "insert":
+            k2 = k
+            while k2 < n and ops[k2][0] == "insert" and ops[k2][1] == spos and ops[k2][2] == dpos + (k2 - k):
+                k2 += 1
+            cnt = k2 - k
+            res.append(("insert", spos, spos, dpos, dpos + cnt))
+            dpos += cnt
+            k = k2
+        else:  # delete
+            k2 = k
+            while k2 < n and ops[k2][0] == "delete" and ops[k2][1] == spos + (k2 - k) and ops[k2][2] == dpos:
+                k2 += 1
+            cnt = k2 - k
+            res.append(("delete", spos, spos + cnt, dpos, dpos))
+            spos += cnt
+            k = k2
+    if spos < len1 or dpos < len2:
+        res.append(("equal", spos, len1, dpos, len2))
+    return res
+
+
+def _opcodes_to_editops(ops: Sequence[Opcode]) -> List[Editop]:
+    res: List[Editop] = []
+    for op, i1, i2, j1, j2 in ops:
+        if op == "equal":
+            continue
+        if op == "replace":
+            for k in range(i2 - i1):
+                res.append(("replace", i1 + k, j1 + k))
+        elif op == "insert":
+            for k in range(j2 - j1):
+                res.append(("insert", i1, j1 + k))
+        elif op == "delete":
+            for k in range(i2 - i1):
+                res.append(("delete", i1 + k, j1))
+        else:
+            raise ValueError(f"invalid opcode tag {op!r}")
+    return res
+
+
+def _norm_len(arg) -> int:
+    return arg if isinstance(arg, int) else len(arg)
+
+
+def editops(*args):
+    """``editops(s1, s2)`` or ``editops(opcodes, len1, len2)``
+    (reference ``__init__.py:314-347``)."""
+    if len(args) == 3:
+        ops, a2, a3 = args
+        len1, len2 = _norm_len(a2), _norm_len(a3)
+        if ops and len(ops[0]) == 3:
+            return [tuple(o) for o in ops]
+        del len1, len2
+        return _opcodes_to_editops(ops)
+    s1, s2 = args
+    return _editops_from_strings(s1, s2)
+
+
+def opcodes(*args):
+    """``opcodes(s1, s2)`` or ``opcodes(editops, len1, len2)``
+    (reference ``__init__.py:350-385``)."""
+    if len(args) == 3:
+        ops, a2, a3 = args
+        len1, len2 = _norm_len(a2), _norm_len(a3)
+        if ops and len(ops[0]) == 5:
+            return [tuple(o) for o in ops]
+        return _editops_to_opcodes(ops, len1, len2)
+    s1, s2 = args
+    eo = _editops_from_strings(s1, s2)
+    return _editops_to_opcodes(eo, _norm_len(s1), _norm_len(s2))
+
+
+def matching_blocks(edit_operations, source_string, destination_string):
+    """Identical blocks incl. difflib's terminal zero-length block
+    (reference ``__init__.py:388-433``)."""
+    len1 = _norm_len(source_string)
+    len2 = _norm_len(destination_string)
+    if edit_operations and len(edit_operations[0]) == 5:
+        ops5 = edit_operations
+    else:
+        ops5 = _editops_to_opcodes(list(edit_operations), len1, len2)
+    blocks = [(i1, j1, i2 - i1) for (op, i1, i2, j1, j2) in ops5 if op == "equal"]
+    blocks.append((len1, len2, 0))
+    return blocks
+
+
+def apply_edit(edit_operations, source_string: str, destination_string: str):
+    """Replay an edit script (or ordered editops subset) on the source
+    (reference ``__init__.py:436-473``)."""
+    if len(edit_operations) == 0:
+        return source_string
+    s, d = source_string, destination_string
+    out = []
+    if len(edit_operations[0]) == 3:
+        spos = 0
+        for op, i, j in edit_operations:
+            if op == "equal":
+                continue
+            if i > spos:
+                out.append(s[spos:i])
+                spos = i
+            if op == "replace":
+                out.append(d[j])
+                spos += 1
+            elif op == "insert":
+                out.append(d[j])
+            else:  # delete
+                spos += 1
+        out.append(s[spos:])
+    else:
+        for op, i1, i2, j1, j2 in edit_operations:
+            if op == "equal":
+                out.append(s[i1:i2])
+            elif op in ("replace", "insert"):
+                out.append(d[j1:j2])
+            # delete: emit nothing
+    joined = out[0][:0].join(out) if out else s[:0]
+    return joined
+
+
+def subtract_edit(edit_operations: Sequence[Editop], subsequence: Sequence[Editop]) -> List[Editop]:
+    """Remove an ordered editops subsequence; remaining ops are re-based to
+    the intermediate string (reference ``__init__.py:476-511``)."""
+    sub = list(subsequence)
+    remaining: List[Editop] = []
+    si = 0
+    shift = 0  # net length change contributed by consumed subsequence ops
+    for op in edit_operations:
+        opt = (op[0], op[1], op[2])
+        if si < len(sub) and tuple(sub[si]) == opt:
+            if opt[0] == "insert":
+                shift += 1
+            elif opt[0] == "delete":
+                shift -= 1
+            si += 1
+        else:
+            remaining.append((opt[0], opt[1] + shift, opt[2]))
+    if si != len(sub):
+        raise ValueError("subsequence is not a subsequence of edit_operations")
+    return remaining
+
+
+def inverse(edit_operations):
+    """Swap the source/destination sense of an edit script
+    (reference ``__init__.py:514-550``)."""
+    if len(edit_operations) == 0:
+        return []
+    if len(edit_operations[0]) == 3:
+        swap3 = {"insert": "delete", "delete": "insert", "replace": "replace", "equal": "equal"}
+        return [(swap3[op], j, i) for (op, i, j) in edit_operations]
+    swap5 = {"insert": "delete", "delete": "insert", "replace": "replace", "equal": "equal"}
+    return [(swap5[op], j1, j2, i1, i2) for (op, i1, i2, j1, j2) in edit_operations]
+
+
+# ---------------------------------------------------------------------------
+# Median family — ports of the documented algorithms in
+# _levenshtein.hpp:144-524 and _levenshtein.cpp:98-189.
+# ---------------------------------------------------------------------------
+
+
+def _extract_weights(strlist, wlist) -> np.ndarray:
+    if wlist is None:
+        return np.ones(len(strlist), dtype=np.float64)
+    if len(strlist) != len(wlist):
+        raise ValueError("strlist has a different length than wlist")
+    w = np.asarray(list(wlist), dtype=np.float64)
+    if (w < 0).any():
+        raise ValueError("weight is negative")
+    return w
+
+
+def _symlist(strings: List[np.ndarray]) -> np.ndarray:
+    """Sorted unique symbols over all strings (reference make_symlist,
+    _levenshtein.hpp:106-125; std::set iteration order == sorted)."""
+    nonempty = [s for s in strings if len(s)]
+    if not nonempty:
+        return np.empty(0, dtype=np.uint32)
+    return np.unique(np.concatenate(nonempty))
+
+
+def median(strlist: Sequence[StrOrBytes], wlist=None) -> str:
+    """Greedy generalized median (reference lev_greedy_median,
+    ``_levenshtein.hpp:144-249``): grow the consensus symbol by symbol,
+    choosing at each step the symbol minimizing the weighted sum of
+    *minimum* DP-row values; stop at 2*maxlen+1 or when past maxlen the
+    total distance stops improving; return the best-SOD prefix."""
+    weights = _extract_weights(strlist, wlist)
+    strings = [_codes(s) for s in strlist]
+    symlist = _symlist(strings)
+    if len(symlist) == 0:
+        return ""
+    nsym = len(symlist)
+    maxlen = max(len(s) for s in strings)
+    stoplen = 2 * maxlen + 1
+    # per-string DP rows for the current median prefix (distance rows)
+    rows = [np.arange(len(s) + 1, dtype=np.int64) for s in strings]
+    # precompute per-string inequality matrix (nsym x len)
+    neqs = [symlist[:, None] != s[None, :] for s in strings]
+    mediandist = np.empty(stoplen + 1, dtype=np.float64)
+    mediandist[0] = float(sum(len(s) + w for s, w in zip(strings, weights)))
+    med: List[int] = []
+    for ln in range(1, stoplen + 1):
+        minsum = np.zeros(nsym, dtype=np.float64)
+        totaldist = np.zeros(nsym, dtype=np.float64)
+        for s, w, row, neq in zip(strings, weights, rows, neqs):
+            L = len(s)
+            if L == 0:
+                # x stays ln (no chars to improve); min == ln as well
+                minsum += ln * w
+                totaldist += ln * w
+                continue
+            jr = np.arange(1, L + 1, dtype=np.int64)
+            # candidate per position: min(prev_row[k-1]+neq, prev_row[k]+1)
+            cand = np.minimum(row[:-1][None, :] + neq, row[1:][None, :] + 1)
+            t = np.minimum.accumulate(np.minimum(cand - jr[None, :], ln), axis=1)
+            x = t + jr[None, :]  # DP row values for cols 1..L, per symbol
+            rowmin = np.minimum(x.min(axis=1), ln)
+            minsum += rowmin * w
+            totaldist += x[:, -1] * w
+        best = int(np.argmin(minsum))  # strict <, first (lowest symbol) wins
+        mediandist[ln] = totaldist[best]
+        med.append(int(symlist[best]))
+        if ln == stoplen or (ln > maxlen and mediandist[ln] > mediandist[ln - 1]):
+            stoplen = ln
+            break
+        # commit best symbol: refresh all DP rows
+        sym = med[-1]
+        for idx, (s, row) in enumerate(zip(strings, rows)):
+            L = len(s)
+            if L == 0:
+                row[0] = ln
+                continue
+            jr = np.arange(1, L + 1, dtype=np.int64)
+            neqv = (s != sym).astype(np.int64)
+            cand = np.minimum(row[:-1] + neqv, row[1:] + 1)
+            t = np.minimum.accumulate(np.minimum(cand - jr, ln))
+            row[1:] = t + jr
+            row[0] = ln
+    bestlen = int(np.argmin(mediandist[: stoplen + 1]))
+    return _from_codes(med[:bestlen])
+
+
+def _finish_distance(
+    suffix: List[int],
+    strings: List[np.ndarray],
+    weights: np.ndarray,
+    rows: List[np.ndarray],
+) -> float:
+    """Reference finish_distance_computations (``_levenshtein.hpp:257-316``):
+    given cached DP rows for the committed median prefix, complete the DP with
+    ``suffix`` appended and sum the weighted final distances."""
+    distsum = 0.0
+    if len(suffix) == 0:
+        for s, w, row in zip(strings, weights, rows):
+            distsum += float(row[len(s)]) * w
+        return distsum
+    suf = np.asarray(suffix, dtype=np.uint32)
+    for s, w, row in zip(strings, weights, rows):
+        # strip common suffix between median-suffix and the string
+        n = min(len(suf), len(s))
+        if n:
+            neq = suf[len(suf) - n:][::-1] != s[len(s) - n:][::-1]
+            k = int(np.argmax(neq)) if neq.any() else n
+        else:
+            k = 0
+        s1 = suf[: len(suf) - k]
+        s2 = s[: len(s) - k]
+        if len(s1) == 0:
+            distsum += float(row[len(s2)]) * w
+            continue
+        offset = int(row[0])
+        if len(s2) == 0:
+            distsum += float(offset + len(s1)) * w
+            continue
+        L = len(s2)
+        cur = row[: L + 1].astype(np.int64)
+        jr = np.arange(1, L + 1, dtype=np.int64)
+        for i, ch in enumerate(s1):
+            neqv = (s2 != ch).astype(np.int64)
+            cur0 = i + 1 + offset
+            cand = np.minimum(cur[:-1] + neqv, cur[1:] + 1)
+            # cur[0] of this row is implicit (offset+i+1)
+            t = np.minimum.accumulate(np.minimum(cand - jr, cur0))
+            cur[1:] = t + jr
+            cur[0] = cur0
+        distsum += float(cur[L]) * w
+    return distsum
+
+
+def median_improve(string: StrOrBytes, strlist: Sequence[StrOrBytes], wlist=None) -> str:
+    """One hill-climbing pass over the given median (reference
+    lev_median_improve, ``_levenshtein.hpp:336-461``): at each position try
+    replace/insert/delete perturbations, keep the best; never worse SOD."""
+    weights = _extract_weights(strlist, wlist)
+    strings = [_codes(s) for s in strlist]
+    symlist = _symlist(strings)
+    if len(symlist) == 0:
+        return ""
+    syms = [int(x) for x in symlist]
+    rows = [np.arange(len(s) + 1, dtype=np.int64) for s in strings]
+    # med[0] is the sentinel "-1st" slot used for insertion trials at pos 0
+    med: List[int] = [0] + [int(c) for c in _codes(string)]
+    medlen = len(med) - 1
+    minminsum = _finish_distance(med[1:], strings, weights, rows)
+    pos = 0
+    while pos <= medlen:
+        sym_at = med[pos + 1] if pos < medlen else 0
+        best_sym = sym_at
+        operation = "keep"
+        if pos < medlen:
+            orig = med[pos + 1]
+            for sy in syms:
+                if sy == orig:
+                    continue
+                med[pos + 1] = sy
+                sm = _finish_distance(med[pos + 1:], strings, weights, rows)
+                if sm < minminsum:
+                    minminsum = sm
+                    best_sym = sy
+                    operation = "replace"
+            med[pos + 1] = orig
+        # insertion simulated by replacing the slot before pos
+        orig = med[pos]
+        for sy in syms:
+            med[pos] = sy
+            sm = _finish_distance(med[pos:], strings, weights, rows)
+            if sm < minminsum:
+                minminsum = sm
+                best_sym = sy
+                operation = "insert"
+        med[pos] = orig
+        if pos < medlen:
+            sm = _finish_distance(med[pos + 2:], strings, weights, rows)
+            if sm < minminsum:
+                minminsum = sm
+                operation = "delete"
+        if operation == "replace":
+            med[pos + 1] = best_sym
+        elif operation == "insert":
+            med.insert(pos + 1, best_sym)
+            medlen += 1
+        elif operation == "delete":
+            del med[pos + 1]
+            medlen -= 1
+        if operation != "delete":
+            if pos + 1 >= len(med):
+                # pos == medlen with "keep": the C code refreshes rows from
+                # one-past-end memory and then exits the loop — dead work.
+                pos += 1
+                continue
+            sym = med[pos + 1]
+            for s, row in zip(strings, rows):
+                L = len(s)
+                if L == 0:
+                    row[0] = pos + 1
+                    continue
+                jr = np.arange(1, L + 1, dtype=np.int64)
+                neqv = (s != sym).astype(np.int64)
+                cand = np.minimum(row[:-1] + neqv, row[1:] + 1)
+                t = np.minimum.accumulate(np.minimum(cand - jr, pos + 1))
+                row[1:] = t + jr
+                row[0] = pos + 1
+            pos += 1
+    return _from_codes(med[1:])
+
+
+class _SymMap:
+    """Faithful emulation of the reference's 256-bucket symbol hash
+    (``_levenshtein.cpp:28-96``): bucket key ``(c + (c >> 7)) & 0xff``,
+    per-bucket chains in first-insertion order; argmax iterates buckets
+    0..255 then chain order with strict ``>`` (first max wins)."""
+
+    def __init__(self, strings: List[np.ndarray]):
+        self.buckets: List[List[int]] = [[] for _ in range(256)]
+        self.votes = {}
+        for s in strings:
+            for c in s.tolist():
+                key = (c + (c >> 7)) & 0xFF
+                if c not in self.votes:
+                    self.votes[c] = 0.0
+                    self.buckets[key].append(c)
+
+    def clear(self):
+        for c in self.votes:
+            self.votes[c] = 0.0
+
+    def argmax(self) -> int:
+        best = None
+        best_s = -np.inf
+        for b in self.buckets:
+            for c in b:
+                if best is None or self.votes[c] > best_s:
+                    best = c
+                    best_s = self.votes[c]
+        assert best is not None
+        return best
+
+
+def quickmedian(strlist: Sequence[StrOrBytes], wlist=None) -> str:
+    """Positional-voting approximate median (reference lev_quick_median,
+    ``_levenshtein.cpp:98-189``): target length = weighted mean length
+    rounded with +0.499999; each string votes for proportionally mapped
+    characters with fractional boundary weights; per-position argmax."""
+    weights = _extract_weights(strlist, wlist)
+    strings = [_codes(s) for s in strlist]
+    ml = float(sum(w * len(s) for s, w in zip(strings, weights)))
+    wl = float(weights.sum())
+    if wl == 0.0:
+        return ""
+    import math
+
+    ml = math.floor(ml / wl + 0.499999)
+    if ml <= 0:
+        return ""
+    symmap = _SymMap(strings)
+    out: List[int] = []
+    for j in range(int(ml)):
+        symmap.clear()
+        for s, w in zip(strings, weights):
+            L = len(s)
+            if L == 0:
+                continue
+            start = L / ml * j
+            end = start + L / ml
+            istart = int(math.floor(start))
+            iend = min(int(math.ceil(end)), L)
+            sl = s.tolist()
+            for k in range(istart + 1, iend):
+                symmap.votes[sl[k]] += w
+            symmap.votes[sl[istart]] += w * ((1 + istart) - start)
+            symmap.votes[sl[iend - 1]] -= w * (iend - end)
+        out.append(symmap.argmax())
+    return _from_codes(out)
+
+
+def setmedian(strlist: Sequence[StrOrBytes], wlist=None) -> str:
+    """Set median / medoid (reference lev_set_median,
+    ``_levenshtein.hpp:478-524``): the input string minimizing the weighted
+    sum of Levenshtein distances to all others; first index wins ties.
+    Returned as ``str`` regardless of input type (pyx:173)."""
+    weights = _extract_weights(strlist, wlist)
+    strings = [_codes(s) for s in strlist]
+    n = len(strings)
+    if n == 0:
+        raise ValueError("strlist is empty")
+    # full symmetric distance matrix (early-abandon in the reference only
+    # affects speed, not the argmin)
+    dist = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = _strip_common(strings[i], strings[j])
+            d = _dp_distance(a, b, 1, 1, 1)
+            dist[i, j] = d
+            dist[j, i] = d
+    sums = dist @ weights  # sum_j w_j * d(i, j); self term is 0
+    minidx = int(np.argmin(sums))  # np.argmin returns first minimum
+    return _from_codes(strings[minidx])
+
+
+# ---------------------------------------------------------------------------
+# Sequence / set ratios
+# ---------------------------------------------------------------------------
+
+
+def _norm_indel(a: np.ndarray, b: np.ndarray) -> float:
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return 0.0
+    sa, sb = _strip_common(a, b)
+    return _dp_distance(sa, sb, 1, 1, 2) / lensum
+
+
+def seqratio(strlist1: Sequence[StrOrBytes], strlist2: Sequence[StrOrBytes]) -> float:
+    """Similarity of two string *sequences* (reference seqratio,
+    ``levenshtein_cpp.pyx:210-240`` + lev_edit_seq_distance
+    ``_levenshtein.hpp:551-624``): outer Levenshtein over items with
+    substitution cost ``2*indel/(l1+l2)``; ``(lensum-dist)/lensum``."""
+    seq1 = [_codes(s) for s in strlist1]
+    seq2 = [_codes(s) for s in strlist2]
+    lensum = len(seq1) + len(seq2)
+    if lensum == 0:
+        return 1.0
+    if len(seq1) == 0:
+        return (lensum - len(seq2)) / lensum
+    if len(seq2) == 0:
+        return (lensum - len(seq1)) / lensum
+    d = _seq_distance(seq1, seq2)
+    return (lensum - d) / lensum
+
+
+def _seq_distance(seq1: List[np.ndarray], seq2: List[np.ndarray]) -> float:
+    if len(seq1) > len(seq2):
+        seq1, seq2 = seq2, seq1
+    # strip common prefix/suffix (item equality)
+    lo = 0
+    while lo < len(seq1) and lo < len(seq2) and np.array_equal(seq1[lo], seq2[lo]):
+        lo += 1
+    h1, h2 = len(seq1), len(seq2)
+    while h1 > lo and h2 > lo and np.array_equal(seq1[h1 - 1], seq2[h2 - 1]):
+        h1 -= 1
+        h2 -= 1
+    s1 = seq1[lo:h1]
+    s2 = seq2[lo:h2]
+    if not s1:
+        return float(len(s2))
+    if not s2:
+        return float(len(s1))
+    n2 = len(s2)
+    row = np.arange(n2 + 1, dtype=np.float64)
+    for i, a in enumerate(s1):
+        prev_diag = row[0]
+        row[0] = i + 1.0
+        x = i + 1.0
+        for j, b in enumerate(s2):
+            l = len(a) + len(b)
+            q = prev_diag if l == 0 else prev_diag + 2.0 / l * _dp_distance(*_strip_common(a, b), 1, 1, 2)
+            x = min(x + 1.0, q, row[j + 1] + 1.0)
+            prev_diag = row[j + 1]
+            row[j + 1] = x
+        # reset x for next row start handled at loop top
+    return float(row[n2])
+
+
+def _munkres_blackman(n1: int, n2: int, dists: np.ndarray) -> List[int]:
+    """Port of the reference's sequential Munkres-Blackman assignment
+    (``_levenshtein.cpp:202-381``).  ``dists`` is row-major (n2 rows, n1
+    cols), modified in place.  Returns for each column j the assigned row."""
+    EPS = 1e-14
+    covc = [0] * n1
+    zstarc = [0] * n1  # 1-based row of starred zero per column
+    covr = [0] * n2
+    zstarr = [0] * n2  # 1-based col of starred zero per row
+    zprimer = [0] * n2
+    d = dists  # shape (n2, n1)
+    row_holder = [0]
+
+    def step1():
+        for j in range(n1):
+            col = d[:, j]
+            minidx = int(np.argmin(col))
+            mn = col[minidx]
+            col -= mn
+            col[col < EPS] = 0.0
+            if not zstarc[j] and not zstarr[minidx]:
+                zstarc[j] = minidx + 1
+                zstarr[minidx] = j + 1
+            else:
+                for i in range(n2):
+                    if i != minidx and col[i] == 0.0 and not zstarc[j] and not zstarr[i]:
+                        zstarc[j] = i + 1
+                        zstarr[i] = j + 1
+                        break
+        return 2
+
+    def step2():
+        nc = 0
+        for j in range(n1):
+            if zstarc[j]:
+                covc[j] = 1
+                nc += 1
+        return 0 if nc == n1 else 3
+
+    def step3():
+        for j in range(n1):
+            if covc[j]:
+                continue
+            for i in range(n2):
+                if not covr[i] and d[i, j] == 0.0:
+                    zprimer[i] = j + 1
+                    if zstarr[i]:
+                        covr[i] = 1
+                        covc[zstarr[i] - 1] = 0
+                        return 3
+                    row_holder[0] = i
+                    return 4
+        return 5
+
+    def step4():
+        row = row_holder[0] + 1
+        while True:
+            x = row
+            row -= 1
+            j = zprimer[row] - 1
+            zstarr[row] = j + 1
+            row = zstarc[j]
+            zstarc[j] = x
+            if not row:
+                break
+        for i in range(n2):
+            zprimer[i] = 0
+            covr[i] = 0
+        for j in range(n1):
+            covc[j] = 0
+        return 2
+
+    def step5():
+        mn = np.inf
+        for j in range(n1):
+            if covc[j]:
+                continue
+            for i in range(n2):
+                if not covr[i] and d[i, j] < mn:
+                    mn = d[i, j]
+        for i in range(n2):
+            if covr[i]:
+                d[i, :] += mn
+        for j in range(n1):
+            if covc[j]:
+                continue
+            d[:, j] -= mn
+            col = d[:, j]
+            col[col < EPS] = 0.0
+        return 3
+
+    nxt = 1
+    while nxt:
+        if nxt == 1:
+            nxt = step1()
+        elif nxt == 2:
+            nxt = step2()
+        elif nxt == 3:
+            nxt = step3()
+        elif nxt == 4:
+            nxt = step4()
+        elif nxt == 5:
+            nxt = step5()
+    return [z - 1 for z in zstarc]
+
+
+def setratio(strlist1: Sequence[StrOrBytes], strlist2: Sequence[StrOrBytes]) -> float:
+    """Similarity of two string *sets* (reference setratio,
+    ``levenshtein_cpp.pyx:175-208`` + lev_set_distance
+    ``_levenshtein.hpp:647-686``): optimal assignment (Munkres-Blackman)
+    over the all-pairs normalized-indel matrix."""
+    set1 = [_codes(s) for s in strlist1]
+    set2 = [_codes(s) for s in strlist2]
+    lensum = len(set1) + len(set2)
+    if lensum == 0:
+        return 1.0
+    if not set1:
+        d = float(len(set2))
+    elif not set2:
+        d = float(len(set1))
+    else:
+        d = _set_distance(set1, set2)
+    return (lensum - d) / lensum
+
+
+def _set_distance(set1: List[np.ndarray], set2: List[np.ndarray]) -> float:
+    if len(set1) > len(set2):
+        set1, set2 = set2, set1
+    n1, n2 = len(set1), len(set2)
+    dists = np.empty((n2, n1), dtype=np.float64)
+    for i, b in enumerate(set2):
+        for j, a in enumerate(set1):
+            dists[i, j] = _norm_indel(a, b)
+    mapping = _munkres_blackman(n1, n2, dists)
+    total = float(n2 - n1)
+    for j in range(n1):
+        i = mapping[j]
+        total += 2.0 * _norm_indel(set1[j], set2[i])
+    return total

@@ -1,0 +1,138 @@
+"""Property-based kernel tests (hypothesis) — metric axioms and round-trips.
+
+Complements the golden vectors in test_kernels_golden.py with the invariants
+listed in SURVEY.md §5.2 / FIXTURES.md F6.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from levsim import kernels as K
+
+ALPHABETS = ["abc", "abcdefghij ", "ÁÄüß日本語中文한국", ""]
+texts = st.one_of(
+    *[st.text(alphabet=a, min_size=0, max_size=40) for a in ALPHABETS if a]
+)
+short_texts = st.text(alphabet="abcd", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts, texts)
+def test_distance_axioms(a, b):
+    d = K.distance(a, b)
+    assert d >= 0
+    assert (d == 0) == (a == b)
+    assert d == K.distance(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts, texts, texts)
+def test_triangle_inequality(a, b, c):
+    assert K.distance(a, c) <= K.distance(a, b) + K.distance(b, c)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts, texts)
+def test_ratio_definition(a, b):
+    r = K.ratio(a, b)
+    assert 0.0 <= r <= 1.0
+    lensum = len(a) + len(b)
+    if lensum:
+        assert abs(r - (1.0 - K.indel_distance(a, b) / lensum)) < 1e-12
+    else:
+        assert r == 1.0
+
+
+def _brute_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1]
+        for j, cb in enumerate(b):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_texts, short_texts)
+def test_distance_vs_bruteforce(a, b):
+    assert K.distance(a, b) == _brute_distance(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, texts, st.integers(min_value=0, max_value=10))
+def test_cutoff_consistency(a, b, cutoff):
+    d = K.distance(a, b)
+    dc = K.distance(a, b, score_cutoff=cutoff)
+    assert dc == (d if d <= cutoff else cutoff + 1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts, texts)
+def test_editops_roundtrip(a, b):
+    eo = K.editops(a, b)
+    assert len(eo) == K.distance(a, b)  # minimal script
+    assert K.apply_edit(eo, a, b) == b
+    oc = K.opcodes(a, b)
+    assert K.apply_edit(oc, a, b) == b
+    # inverse twice == identity
+    assert K.inverse(K.inverse(eo)) == eo
+    # inverse transforms b -> a
+    assert K.apply_edit(K.inverse(eo), b, a) == a
+    # opcodes <-> editops conversion round-trip
+    assert K.editops(K.opcodes(eo, len(a), len(b)), len(a), len(b)) == eo
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, texts)
+def test_matching_blocks_consistent(a, b):
+    mb = K.matching_blocks(K.editops(a, b), a, b)
+    assert mb[-1] == (len(a), len(b), 0)
+    s1 = "".join(a[x[0]: x[0] + x[2]] for x in mb)
+    s2 = "".join(b[x[1]: x[1] + x[2]] for x in mb)
+    assert s1 == s2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=12), min_size=1, max_size=6))
+def test_median_zero_weight_invariance(strs):
+    # appending a zero-weight string never changes the result
+    # (generalizes tests/test_median.py:6-13).  Restricted to non-empty
+    # ascii strings: the reference's symlist includes symbols of
+    # zero-weight strings and its mediandist[0] = sum(len_i + w_i) quirk
+    # (_levenshtein.hpp:177-178) makes all-empty corner cases diverge.
+    w = [1.0] * len(strs)
+    base = K.quickmedian(strs, w)
+    assert K.quickmedian(strs + ["zzzz"], w + [0.0]) == base
+    base_m = K.median(strs, w)
+    assert K.median(strs + ["zzzz"], w + [0.0]) == base_m
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(short_texts, min_size=1, max_size=5), short_texts)
+def test_median_improve_never_worse(strs, seed):
+    def sod(m):
+        return sum(K.distance(m, s) for s in strs)
+
+    improved = K.median_improve(seed, strs)
+    assert sod(improved) <= sod(seed)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(short_texts, min_size=1, max_size=5))
+def test_setmedian_is_member(strs):
+    m = K.setmedian(strs)
+    assert m in strs
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(short_texts, min_size=0, max_size=4), st.lists(short_texts, min_size=0, max_size=4))
+def test_set_seq_ratio_bounds(l1, l2):
+    for fn in (K.setratio, K.seqratio):
+        r = fn(l1, l2)
+        assert 0.0 <= r <= 1.0
+    assert K.seqratio(l1, l1) == 1.0
+    assert K.setratio(l1, l1) == 1.0
