@@ -1,0 +1,315 @@
+/* levsim C batch kernels — compiled at runtime via levsim.cbuild (ctypes).
+ *
+ * All algorithms are textbook/public: banded Wagner-Fischer (Ukkonen 1985),
+ * bit-parallel LCS (Allison-Dix 1986 / Hyyro 2004), Jaro (Winkler 1990).
+ * Mirrors the scalar semantics of levsim.kernels exactly; tests assert
+ * bit-identical outputs against the Python implementations.
+ *
+ * Batch layout: code points of all strings flattened into one uint32 array,
+ * with int64 offsets (length n+1, offsets[i]..offsets[i+1] is string i).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MIN(a, b) ((a) < (b) ? (a) : (b))
+#define MAX(a, b) ((a) > (b) ? (a) : (b))
+
+/* strip common prefix/suffix; exact for unit-cost edit distances */
+static void strip_common(const uint32_t **pa, int64_t *pm, const uint32_t **pb, int64_t *pn)
+{
+    const uint32_t *a = *pa, *b = *pb;
+    int64_t m = *pm, n = *pn;
+    while (m > 0 && n > 0 && a[0] == b[0]) { a++; b++; m--; n--; }
+    while (m > 0 && n > 0 && a[m - 1] == b[n - 1]) { m--; n--; }
+    *pa = a; *pb = b; *pm = m; *pn = n;
+}
+
+/* ---------------- banded Levenshtein (uniform weights) ---------------- */
+
+static int64_t lev_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                       int64_t cutoff, int64_t *row /* scratch >= n+1 */)
+{
+    strip_common(&a, &m, &b, &n);
+    if (m == 0) return (cutoff >= 0 && n > cutoff) ? cutoff + 1 : n;
+    if (n == 0) return (cutoff >= 0 && m > cutoff) ? cutoff + 1 : m;
+    int64_t diff = m > n ? m - n : n - m;
+    if (cutoff >= 0 && diff > cutoff) return cutoff + 1;
+    /* band half-width: enough to contain any path of cost <= cutoff */
+    int64_t band = cutoff >= 0 ? cutoff : (m > n ? m : n);
+    const int64_t INF = (int64_t)1 << 60;
+    int64_t lo_prev = 0, hi_prev = MIN(n, band); /* valid cols of prev row */
+    for (int64_t j = 0; j <= hi_prev; j++) row[j] = j;
+    for (int64_t i = 1; i <= m; i++) {
+        int64_t lo = MAX(1, i - band), hi = MIN(n, i + band);
+        if (lo > hi) return cutoff + 1;
+        int64_t diag = (lo - 1 >= lo_prev && lo - 1 <= hi_prev) ? row[lo - 1] : INF;
+        int64_t left = (lo - 1 == 0) ? i : INF; /* row[lo-1] of current row */
+        int64_t best = INF;
+        for (int64_t j = lo; j <= hi; j++) {
+            int64_t up = (j >= lo_prev && j <= hi_prev) ? row[j] : INF;
+            int64_t v = diag + (a[i - 1] != b[j - 1]);
+            if (up + 1 < v) v = up + 1;
+            if (left + 1 < v) v = left + 1;
+            diag = up;
+            row[j] = v;
+            left = v;
+            if (v < best) best = v;
+        }
+        if (lo - 1 == 0) row[0] = i;
+        if (cutoff >= 0 && best > cutoff) return cutoff + 1;
+        lo_prev = lo - 1 == 0 ? 0 : lo;
+        hi_prev = hi;
+    }
+    int64_t d = row[n];
+    if (cutoff >= 0 && d > cutoff) return cutoff + 1;
+    return d;
+}
+
+void batch_lev(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+               int64_t npairs, int64_t cutoff, int64_t *out)
+{
+    int64_t maxn = 0;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t ln = ob[i + 1] - ob[i];
+        if (ln > maxn) maxn = ln;
+        ln = oa[i + 1] - oa[i];
+        if (ln > maxn) maxn = ln;
+    }
+    int64_t *row = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = lev_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i], cutoff, row);
+    free(row);
+}
+
+/* ------------- generalized weighted Levenshtein (full DP) ------------- */
+
+static int64_t levw_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                        int64_t wins, int64_t wdel, int64_t wsub, int64_t *prev, int64_t *cur)
+{
+    if (wins == wdel) strip_common(&a, &m, &b, &n);
+    if (m == 0) return n * wins;
+    if (n == 0) return m * wdel;
+    int64_t esub = MIN(wsub, wins + wdel);
+    for (int64_t j = 0; j <= n; j++) prev[j] = j * wins;
+    for (int64_t i = 1; i <= m; i++) {
+        cur[0] = i * wdel;
+        uint32_t ai = a[i - 1];
+        for (int64_t j = 1; j <= n; j++) {
+            int64_t v = prev[j - 1] + (ai != b[j - 1] ? esub : 0);
+            if (prev[j] + wdel < v) v = prev[j] + wdel;
+            if (cur[j - 1] + wins < v) v = cur[j - 1] + wins;
+            cur[j] = v;
+        }
+        int64_t *t = prev; prev = cur; cur = t;
+    }
+    return prev[n];
+}
+
+void batch_lev_weighted(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                        int64_t npairs, int64_t wins, int64_t wdel, int64_t wsub, int64_t *out)
+{
+    int64_t maxn = 0;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t ln = ob[i + 1] - ob[i];
+        if (ln > maxn) maxn = ln;
+    }
+    int64_t *prev = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t *cur = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = levw_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i],
+                          wins, wdel, wsub, prev, cur);
+    free(prev);
+    free(cur);
+}
+
+/* ------------------- bit-parallel indel distance ---------------------- */
+
+/* open-addressing map: code point -> word-mask rows (W words per symbol) */
+typedef struct {
+    uint32_t *keys;
+    uint64_t *masks; /* cap * W words */
+    int64_t cap;     /* power of two */
+    int64_t W;
+} PeqMap;
+
+static void peq_build(PeqMap *pm, const uint32_t *a, int64_t m, int64_t W)
+{
+    int64_t cap = 16;
+    while (cap < 2 * m) cap <<= 1;
+    pm->cap = cap;
+    pm->W = W;
+    pm->keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
+    pm->masks = (uint64_t *)calloc((size_t)(cap * W), sizeof(uint64_t));
+    memset(pm->keys, 0xff, (size_t)cap * sizeof(uint32_t)); /* 0xffffffff = empty */
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t c = a[i];
+        int64_t h = (int64_t)((c * 2654435761u) & (uint32_t)(cap - 1));
+        while (pm->keys[h] != 0xffffffffu && pm->keys[h] != c) h = (h + 1) & (cap - 1);
+        pm->keys[h] = c;
+        pm->masks[h * W + (i >> 6)] |= 1ull << (i & 63);
+    }
+}
+
+static const uint64_t *peq_get(const PeqMap *pm, uint32_t c, const uint64_t *zero)
+{
+    int64_t h = (int64_t)((c * 2654435761u) & (uint32_t)(pm->cap - 1));
+    while (pm->keys[h] != 0xffffffffu) {
+        if (pm->keys[h] == c) return pm->masks + h * pm->W;
+        h = (h + 1) & (pm->cap - 1);
+    }
+    return zero;
+}
+
+static int64_t indel_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                         uint64_t *V /* scratch */, uint64_t *zero /* scratch, zeroed */)
+{
+    strip_common(&a, &m, &b, &n);
+    if (m == 0) return n;
+    if (n == 0) return m;
+    /* pattern = shorter side for smaller W */
+    if (m > n) { const uint32_t *t = a; a = b; b = t; int64_t tl = m; m = n; n = tl; }
+    int64_t W = (m + 63) >> 6;
+    PeqMap pm;
+    peq_build(&pm, a, m, W);
+    for (int64_t w = 0; w < W; w++) V[w] = ~0ull;
+    uint64_t lastmask = (m & 63) ? ((1ull << (m & 63)) - 1) : ~0ull;
+    V[W - 1] &= lastmask;
+    for (int64_t j = 0; j < n; j++) {
+        const uint64_t *M = peq_get(&pm, b[j], zero);
+        /* V = (V + (V&M)) | (V - (V&M)); U=V&M subset of V => no borrow across words */
+        uint64_t carry = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t u = V[w] & M[w];
+            uint64_t sum = V[w] + u;
+            uint64_t c2 = (sum < V[w]) ? 1ull : 0ull;
+            uint64_t sum2 = sum + carry;
+            if (sum2 < sum) c2 = 1ull;
+            V[w] = sum2 | (V[w] - u);
+            carry = c2;
+        }
+        V[W - 1] &= lastmask;
+    }
+    int64_t ones = 0;
+    for (int64_t w = 0; w < W; w++) ones += __builtin_popcountll(V[w]);
+    int64_t lcs = m - ones;
+    free(pm.keys);
+    free(pm.masks);
+    return m + n - 2 * lcs;
+}
+
+void batch_indel(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                 int64_t npairs, int64_t *out)
+{
+    int64_t maxm = 0;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
+        int64_t mm = MIN(l1, l2);
+        if (mm > maxm) maxm = mm;
+        if (l1 > maxm && l2 > maxm) maxm = MIN(l1, l2);
+    }
+    int64_t W = (maxm + 63) / 64 + 2;
+    uint64_t *V = (uint64_t *)malloc((size_t)W * sizeof(uint64_t));
+    uint64_t *zero = (uint64_t *)calloc((size_t)W, sizeof(uint64_t));
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = indel_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i], V, zero);
+    free(V);
+    free(zero);
+}
+
+/* ------------------------------ Jaro ---------------------------------- */
+
+static double jaro_one(const uint32_t *p, int64_t l1, const uint32_t *t, int64_t l2,
+                       uint8_t *pf, uint8_t *tf)
+{
+    if (l1 == 0 && l2 == 0) return 1.0;
+    if (l1 == 0 || l2 == 0) return 0.0;
+    int64_t bound = MAX(l1, l2) / 2;
+    if (bound > 0) bound--;
+    memset(pf, 0, (size_t)l1);
+    memset(tf, 0, (size_t)l2);
+    int64_t m = 0;
+    for (int64_t i = 0; i < l1; i++) {
+        int64_t lo = i > bound ? i - bound : 0;
+        int64_t hi = MIN(l2, i + bound + 1);
+        for (int64_t j = lo; j < hi; j++) {
+            if (!tf[j] && t[j] == p[i]) {
+                tf[j] = 1;
+                pf[i] = 1;
+                m++;
+                break;
+            }
+        }
+    }
+    if (m == 0) return 0.0;
+    int64_t trans = 0, k = 0;
+    for (int64_t i = 0; i < l1; i++) {
+        if (!pf[i]) continue;
+        while (!tf[k]) k++;
+        if (p[i] != t[k]) trans++;
+        k++;
+    }
+    trans /= 2;
+    double dm = (double)m;
+    return (dm / (double)l1 + dm / (double)l2 + (dm - (double)trans) / dm) / 3.0;
+}
+
+void batch_jaro(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                int64_t npairs, double *out)
+{
+    int64_t maxn = 1;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
+        if (l1 > maxn) maxn = l1;
+        if (l2 > maxn) maxn = l2;
+    }
+    uint8_t *pf = (uint8_t *)malloc((size_t)maxn);
+    uint8_t *tf = (uint8_t *)malloc((size_t)maxn);
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = jaro_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i], pf, tf);
+    free(pf);
+    free(tf);
+}
+
+void batch_jaro_winkler(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                        int64_t npairs, double prefix_weight, double *out)
+{
+    int64_t maxn = 1;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
+        if (l1 > maxn) maxn = l1;
+        if (l2 > maxn) maxn = l2;
+    }
+    uint8_t *pf = (uint8_t *)malloc((size_t)maxn);
+    uint8_t *tf = (uint8_t *)malloc((size_t)maxn);
+    for (int64_t i = 0; i < npairs; i++) {
+        const uint32_t *a = ca + oa[i];
+        const uint32_t *b = cb + ob[i];
+        int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
+        double sim = jaro_one(a, l1, b, l2, pf, tf);
+        if (sim > 0.7) {
+            int64_t nmax = MIN(MIN(l1, l2), (int64_t)4);
+            int64_t pr = 0;
+            while (pr < nmax && a[pr] == b[pr]) pr++;
+            sim += (double)pr * prefix_weight * (1.0 - sim);
+        }
+        out[i] = sim;
+    }
+    free(pf);
+    free(tf);
+}
+
+/* ----------------------------- Hamming -------------------------------- */
+
+void batch_hamming(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                   int64_t npairs, int64_t *out)
+{
+    for (int64_t i = 0; i < npairs; i++) {
+        const uint32_t *a = ca + oa[i];
+        const uint32_t *b = cb + ob[i];
+        int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
+        int64_t n = MIN(l1, l2), d = l1 > l2 ? l1 - l2 : l2 - l1;
+        for (int64_t k = 0; k < n; k++) d += (a[k] != b[k]);
+        out[i] = d;
+    }
+}

@@ -1,0 +1,94 @@
+"""Batch scorers must be bit-identical to the scalar kernels, on both the
+C-accelerated and the pure-Python fallback paths."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from levsim import batch, cbuild, kernels as K
+
+rng = random.Random(20260816)
+ALPHA = "abcdefgh 日本語ü"
+
+
+def _rs(maxlen=60):
+    return "".join(rng.choice(ALPHA) for _ in range(rng.randint(0, maxlen)))
+
+
+PAIRS = [(_rs(), _rs()) for _ in range(400)] + [
+    ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+    ("lewenstein", "levenshtein"), ("a" * 200, "a" * 100 + "b" * 100),
+]
+A = [p[0] for p in PAIRS]
+B = [p[1] for p in PAIRS]
+
+
+def test_c_kernels_available():
+    assert cbuild.load() is not None, "C accelerator failed to build (gcc present)"
+
+
+@pytest.mark.parametrize("cutoff", [None, 0, 1, 5, 100])
+def test_batch_distance(cutoff):
+    got, nulls = batch.batch_distance(A, B, score_cutoff=cutoff)
+    assert not nulls.any()
+    exp = [K.distance(a, b, score_cutoff=cutoff) for a, b in PAIRS]
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("weights", [(1, 1, 2), (2, 3, 5), (1, 2, 1)])
+def test_batch_distance_weighted(weights):
+    got, _ = batch.batch_distance(A, B, weights=weights)
+    exp = [K.distance(a, b, weights=weights) for a, b in PAIRS]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_batch_ratio():
+    got, _ = batch.batch_ratio(A, B)
+    exp = [K.ratio(a, b) for a, b in PAIRS]
+    np.testing.assert_allclose(got, exp, rtol=0, atol=0)
+
+
+def test_batch_ratio_cutoff():
+    got, _ = batch.batch_ratio(A, B, score_cutoff=0.6)
+    exp = [K.ratio(a, b, score_cutoff=0.6) for a, b in PAIRS]
+    np.testing.assert_allclose(got, exp, rtol=0, atol=0)
+
+
+def test_batch_jaro():
+    got, _ = batch.batch_jaro(A, B)
+    exp = [K.jaro(a, b) for a, b in PAIRS]
+    np.testing.assert_allclose(got, exp, rtol=0, atol=0)
+
+
+def test_batch_jaro_winkler():
+    got, _ = batch.batch_jaro_winkler(A, B)
+    exp = [K.jaro_winkler(a, b) for a, b in PAIRS]
+    np.testing.assert_allclose(got, exp, rtol=0, atol=0)
+
+
+def test_batch_hamming():
+    got, _ = batch.batch_hamming(A, B)
+    exp = [K.hamming(a, b) for a, b in PAIRS]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_nulls_masked():
+    vals, nulls = batch.batch_ratio(["abc", None, "x"], ["abd", "y", None])
+    assert list(nulls) == [False, True, True]
+
+
+def test_python_fallback_identical(monkeypatch):
+    monkeypatch.setattr(cbuild, "_lib", None)
+    monkeypatch.setattr(cbuild, "_tried", True)  # force fallback
+    sub = PAIRS[:50]
+    a = [p[0] for p in sub]
+    b = [p[1] for p in sub]
+    got, _ = batch.batch_distance(a, b, score_cutoff=3)
+    exp = [K.distance(x, y, score_cutoff=3) for x, y in sub]
+    np.testing.assert_array_equal(got, exp)
+    gr, _ = batch.batch_ratio(a, b)
+    er = [K.ratio(x, y) for x, y in sub]
+    np.testing.assert_allclose(gr, er, rtol=0, atol=0)
