@@ -1,0 +1,172 @@
+"""Multi-pass blocking — candidate key generation.
+
+Three passes per the north rule:
+  1. ``host``  — normalized URL host (pure column expr, no shuffle to build)
+  2. ``minhash`` — LSH band keys over word-shingle MinHash signatures
+     (vectorized pandas UDF -> posexplode)
+  3. ``tokensort`` — exact token-sorted-text key (catches word reorders)
+
+Determinism at scale: every key is a pure content hash — never derived from
+partition ids, timestamps or RNG state — so Spark task retries and
+speculative execution cannot produce divergent keys (SURVEY.md §7 judgment
+call (b)).
+
+MinHash math (public: Broder 1997; banding per Leskovec/Rajaraman/Ullman
+ch.3): token base hash = blake2b-64; permutation i is the affine map
+``(a_i * h + b_i) mod p`` over a 61-bit Mersenne prime with (a_i, b_i)
+derived from a fixed seed via SplitMix64.  With r rows/band and b bands,
+P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
+Defaults r=4, b=16 (n=64): s=0.5 -> 0.65, s=0.7 -> 0.99, s=0.9 -> ~1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# 31-bit Mersenne prime: with a,b,h < 2^31 the product a*h+b < 2^62 stays
+# exact in uint64 — fully vectorized modular arithmetic, no big ints.
+_P = (1 << 31) - 1
+_MAXH = (1 << 31) - 2
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    a = np.empty(n_perm, dtype=np.uint64)
+    b = np.empty(n_perm, dtype=np.uint64)
+    s = seed
+    for i in range(n_perm):
+        s = _splitmix64(s)
+        a[i] = s % (_P - 1) + 1
+        s = _splitmix64(s)
+        b[i] = s % _P
+    return a, b
+
+
+def _token_hashes(tokens: List[str]) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") % _P
+         for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def _shingles(text: str, k: int) -> List[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_signature(text: str, n_perm: int, shingle_k: int, seed: int,
+                      _params_cache={}) -> np.ndarray:
+    """n_perm-wide MinHash signature of the text's word-k-shingle set."""
+    key = (n_perm, seed)
+    if key not in _params_cache:
+        _params_cache[key] = _perm_params(n_perm, seed)
+    a, b = _params_cache[key]
+    hs = _token_hashes(_shingles(text, shingle_k))
+    if len(hs) == 0:
+        return np.full(n_perm, _MAXH, dtype=np.uint64)
+    hs = np.unique(hs)  # shingle SET semantics
+    # (n_perm, n_tokens) affine permutations, exact in uint64 (values < 2^62)
+    v = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_P)
+    return v.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, rows_per_band: int) -> List[int]:
+    """LSH band keys: hash of (band_index, band rows) -> int64."""
+    n_bands = len(sig) // rows_per_band
+    keys = []
+    for bi in range(n_bands):
+        h = hashlib.blake2b(digest_size=8)
+        h.update(bi.to_bytes(2, "little"))
+        h.update(sig[bi * rows_per_band: (bi + 1) * rows_per_band].astype("<u8").tobytes())
+        keys.append(int.from_bytes(h.digest(), "little") - (1 << 63))
+    return keys
+
+
+def minhash_band_udf(n_perm: int = 64, rows_per_band: int = 4, shingle_k: int = 3,
+                     seed: int = 0x5EED):
+    """pandas UDF: text -> array<long> of LSH band bucket keys."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            if t is None:
+                out.append(None)
+                continue
+            sig = minhash_signature(t, n_perm, shingle_k, seed)
+            out.append(band_keys(sig, rows_per_band))
+        return pd.Series(out)
+
+    return _udf
+
+
+def add_block_keys(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    host_col: str = "host",
+    n_perm: int = 64,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    passes: tuple = ("host", "minhash", "tokensort"),
+) -> DataFrame:
+    """Explode df into (id, block_pass, block_key) rows, one per blocking key.
+
+    block_key is a string namespaced by pass so keys never collide across
+    passes.  The caller unions all passes in one DataFrame -> single shuffle
+    per downstream join instead of one join per pass.
+    """
+    parts = []
+    if "host" in passes and host_col in df.columns:
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("host").alias("block_pass"),
+                F.concat(F.lit("h:"), F.col(host_col)).alias("block_key"),
+            ).where(F.col(host_col).isNotNull() & (F.length(host_col) > 0))
+        )
+    if "minhash" in passes:
+        bands = minhash_band_udf(n_perm, rows_per_band, shingle_k)
+        parts.append(
+            df.select(F.col(id_col).alias("doc_id"), F.explode(bands(F.col(text_col))).alias("bk"))
+            .select(
+                "doc_id",
+                F.lit("minhash").alias("block_pass"),
+                F.concat(F.lit("m:"), F.col("bk").cast("string")).alias("block_key"),
+            )
+        )
+    if "tokensort" in passes:
+        from .normalize import token_sort_key
+
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("tokensort").alias("block_pass"),
+                F.concat(F.lit("t:"), F.xxhash64(token_sort_key(F.col(text_col))).cast("string")).alias(
+                    "block_key"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

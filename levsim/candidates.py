@@ -1,0 +1,66 @@
+"""Candidate-pair generation: block self-join with skew capping and
+multi-pass dedup.
+
+Scale analysis (the part that must survive 100 TB):
+- A block of size s contributes s*(s-1)/2 pairs — quadratic.  Before the
+  self-join we compute block sizes (one cheap aggregate) and SALT oversized
+  blocks: a block of size s > cap is split into ceil(s/cap) salt groups by a
+  deterministic content hash, so each salted sub-block joins only within
+  itself.  This bounds per-task join fan-out regardless of key skew (the
+  north rule's "salted skew keys"); AQE skew-join splitting handles the
+  residual imbalance.  Trade-off: salting drops cross-salt-group pairs
+  inside mega-blocks — exactly the standard ER compromise (mega-blocks are
+  near-useless keys like empty host; recall is recovered by the other
+  blocking passes).
+- Pairs from different passes are deduped with ONE dropDuplicates on
+  (id_a, id_b) — partial aggregation (map-side combine) keeps the shuffle
+  proportional to distinct pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    max_block_size: int = 200,
+    keep_pass_provenance: bool = True,
+) -> DataFrame:
+    """blocks(doc_id, block_pass, block_key) -> pairs(id_a, id_b[, block_key, block_pass]).
+
+    id_a < id_b canonical order; one row per distinct pair.
+    """
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("bsize"))
+    b = blocks.join(F.broadcast(sizes.where(F.col("bsize") > 1)), "block_key")
+    # deterministic salt: content hash of doc_id, bucketed by how many salt
+    # groups this block needs.  n_salt=1 for normal blocks (no-op).
+    b = b.withColumn(
+        "n_salt", F.ceil(F.col("bsize") / F.lit(max_block_size)).cast("int")
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.col("n_salt")).cast("int")
+    ).withColumn(
+        "join_key", F.concat_ws("#", F.col("block_key"), F.col("salt"))
+    )
+    left = b.select(
+        F.col("join_key"),
+        F.col("doc_id").alias("id_a"),
+        F.col("block_key"),
+        F.col("block_pass"),
+    )
+    right = b.select(F.col("join_key"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        left.join(right, "join_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("join_key")
+    )
+    if keep_pass_provenance:
+        # keep one provenance row per pair: lexicographically first pass/key
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.min(F.struct("block_pass", "block_key")).alias("prov")
+        ).select("id_a", "id_b", F.col("prov.block_pass").alias("block_pass"),
+                 F.col("prov.block_key").alias("block_key"))
+    else:
+        pairs = pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    return pairs

@@ -1,0 +1,95 @@
+"""Cluster representative election — the median family as a grouped-map op.
+
+``groupBy(cluster_id).applyInPandas`` runs one consensus election per
+cluster: ``setmedian`` (medoid; default — always a real member),
+``quickmedian`` (positional voting, the reference's documented scale
+choice, levenshtein_cpp.pyx:93-96), ``median`` (greedy generalized
+median) or ``median_improve`` refinement.
+
+The reference's weights-as-multiplicities rewrite
+(_levenshtein.hpp:137-139: "considerably more efficient to give a string
+with weight 2 than to store two identical strings") is applied as an actual
+relational rewrite: members are deduped to (text, count) before the kernel
+call.  Member order is pinned by sorting on doc id so tie-breaks ("first
+string wins") are deterministic regardless of shuffle order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from . import kernels
+
+CONSENSUS_SCHEMA = StructType(
+    [
+        StructField("cluster_id", StringType()),
+        StructField("n_members", LongType()),
+        StructField("representative", StringType()),
+    ]
+)
+
+
+def _consensus_fn(method: str, improve_rounds: int, text_col: str, id_col: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        texts = pdf[text_col].dropna().tolist()
+        cid = str(pdf["cluster_id"].iloc[0])
+        if not texts:
+            return pd.DataFrame(
+                {"cluster_id": [cid], "n_members": [0], "representative": [None]}
+            )
+        # weights-as-multiplicities rewrite: dedupe, first occurrence order
+        seen: dict = {}
+        for t in texts:
+            seen[t] = seen.get(t, 0) + 1
+        uniq = list(seen.keys())
+        w = [float(c) for c in seen.values()]
+        if method == "setmedian":
+            rep = kernels.setmedian(uniq, w)
+        elif method == "quickmedian":
+            rep = kernels.quickmedian(uniq, w)
+        elif method == "median":
+            rep = kernels.median(uniq, w)
+            for _ in range(improve_rounds):
+                rep = kernels.median_improve(rep, uniq, w)
+        else:
+            raise ValueError(f"unknown consensus method {method!r}")
+        return pd.DataFrame(
+            {"cluster_id": [cid], "n_members": [len(texts)], "representative": [rep]}
+        )
+
+    return fn
+
+
+def elect_representatives(
+    clustered: DataFrame,
+    method: str = "setmedian",
+    improve_rounds: int = 0,
+    text_col: str = "norm_text",
+    id_col: str = "doc_id",
+    max_members: Optional[int] = 1000,
+) -> DataFrame:
+    """clustered(doc_id, cluster_id, <text_col>) -> one representative per
+    cluster.  ``max_members`` caps the per-group kernel cost for megaclusters
+    (deterministic sample: lowest doc ids)."""
+    from pyspark.sql import functions as F
+
+    df = clustered.select(
+        F.col("cluster_id").cast("string").alias("cluster_id"),
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(text_col).alias(text_col),
+    )
+    if max_members is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("cluster_id").orderBy(id_col)
+        df = df.withColumn("_rn", F.row_number().over(wnd)).where(
+            F.col("_rn") <= max_members
+        ).drop("_rn")
+    return df.groupBy("cluster_id").applyInPandas(
+        _consensus_fn(method, improve_rounds, text_col, id_col), CONSENSUS_SCHEMA
+    )

@@ -1,0 +1,47 @@
+"""Text/URL normalization — pure Catalyst column expressions.
+
+This stage is the engine's analog of the reference's ``processor`` callback
+hook (``__init__.py:81-83``): instead of a per-call Python callback, the
+transform is an explicit, deterministic column projection that Catalyst can
+fold, push down and codegen.  No UDFs here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col) -> Column:
+    """Lowercase, collapse whitespace, trim — the default pre-comparison
+    transform for scoring (kept cheap and reversible-ish; byte-identical
+    text preservation happens upstream in the pages table, per input_hint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def url_host(col) -> Column:
+    """Normalized URL host: strips scheme/port/'www.', lowercases.
+
+    The north rule's first blocking key ("normalized-URL-host keys").
+    parse_url is a built-in JVM expression — no Python involved.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def token_sort_key(col) -> Column:
+    """Alphabetically sorted tokens re-joined — the token_sort_ratio
+    prefilter transform: near-duplicate texts with swapped word order get
+    identical keys; used both as a cheap exact-match blocking pass and as
+    the input to token-sorted ratio scoring."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_sort(F.split(norm_text(c), " ")), " ")
+
+
+def with_normalized(df: DataFrame, text_col: str = "text", url_col: str = "url") -> DataFrame:
+    out = df.withColumn("norm_text", norm_text(text_col))
+    if url_col in df.columns:
+        out = out.withColumn("host", url_host(url_col))
+    return out

@@ -1,0 +1,200 @@
+"""End-to-end ER pipeline: normalize -> block -> candidates -> prefilter ->
+score -> cluster -> consensus, checkpoint-resumable per snapshot with
+metrics and lineage tables (the north rule's pipeline contract).
+
+Resume model: each stage's output snapshot id is a deterministic hash of
+(stage name, stage params, input snapshot ids) — ``tables.snapshot_id_for``.
+On rerun, a stage whose snapshot already exists (manifest committed) is
+skipped and its output read back; a killed run therefore resumes at the
+first incomplete stage with byte-identical results (SURVEY.md M5 gate).
+
+Lineage: one row per executed/skipped stage (run id, stage, input snapshot
+ids, output snapshot id, row count, wall seconds, skipped flag).
+Metrics: per-stage row counts + per-partition row histograms via
+``spark_partition_id()``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import blocking, candidates, clustering, consensus, normalize, scoring
+from .tables import SnapshotTable, snapshot_id_for
+
+
+@dataclass
+class ERConfig:
+    tau: float = 0.87
+    scorers: tuple = ("ratio", "jaro_winkler")
+    score_col: str = "ratio"
+    n_perm: int = 64
+    rows_per_band: int = 4
+    shingle_k: int = 3
+    max_block_size: int = 200
+    consensus_method: str = "setmedian"
+    blocking_passes: tuple = ("host", "minhash", "tokensort")
+    id_col: str = "url"
+    text_col: str = "text"
+
+    def params(self) -> dict:
+        return {
+            "tau": self.tau,
+            "scorers": list(self.scorers),
+            "score_col": self.score_col,
+            "n_perm": self.n_perm,
+            "rows_per_band": self.rows_per_band,
+            "shingle_k": self.shingle_k,
+            "max_block_size": self.max_block_size,
+            "consensus": self.consensus_method,
+            "passes": list(self.blocking_passes),
+        }
+
+
+@dataclass
+class StageResult:
+    stage: str
+    snapshot_id: str
+    rows: int
+    wall_sec: float
+    skipped: bool
+
+
+@dataclass
+class ERRun:
+    clusters: DataFrame
+    representatives: DataFrame
+    matched: DataFrame
+    stages: List[StageResult] = field(default_factory=list)
+
+
+class ERPipeline:
+    def __init__(self, spark: SparkSession, workdir: str, config: Optional[ERConfig] = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = config or ERConfig()
+        os.makedirs(workdir, exist_ok=True)
+        self.tables = {
+            name: SnapshotTable(workdir, name)
+            for name in ("pages_norm", "pairs", "scores", "clusters", "representatives")
+        }
+        self.run_id = f"run_{int(time.time() * 1000):x}"
+        self._lineage: List[dict] = []
+
+    # ------------------------------------------------------------------
+    def _stage(self, name: str, inputs: List[str], compute, table: SnapshotTable) -> tuple:
+        sid = snapshot_id_for(name, self.cfg.params(), inputs)
+        t0 = time.time()
+        if table.exists(sid):
+            df = table.read(self.spark, sid)
+            res = StageResult(name, sid, table.manifest(sid)["row_count"], 0.0, True)
+        else:
+            df = compute()
+            table.write(df, sid, params=self.cfg.params(), parent=inputs[0] if inputs else None)
+            df = table.read(self.spark, sid)  # read back: downstream plans scan parquet
+            res = StageResult(name, sid, table.manifest(sid)["row_count"], time.time() - t0, False)
+        self._lineage.append(
+            {
+                "run_id": self.run_id,
+                "stage": name,
+                "inputs": inputs,
+                "snapshot_id": sid,
+                "rows": res.rows,
+                "wall_sec": round(res.wall_sec, 3),
+                "skipped": res.skipped,
+                "ts": time.time(),
+            }
+        )
+        return df, res
+
+    def _flush_lineage(self):
+        path = os.path.join(self.workdir, "lineage.jsonl")
+        with open(path, "a") as f:
+            for row in self._lineage:
+                f.write(json.dumps(row) + "\n")
+        self._lineage = []
+
+    def _write_metrics(self, df: DataFrame, stage: str):
+        """Per-partition row counts -> metrics table (north rule lineage/metrics)."""
+        m = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("run_id", F.lit(self.run_id))
+        )
+        m.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
+
+    # ------------------------------------------------------------------
+    def run(self, pages: DataFrame, pages_snapshot_id: str = "input") -> ERRun:
+        cfg = self.cfg
+        stages: List[StageResult] = []
+
+        def compute_norm():
+            return normalize.with_normalized(pages, text_col=cfg.text_col, url_col=cfg.id_col)
+
+        norm_df, r = self._stage("normalize", [pages_snapshot_id], compute_norm,
+                                 self.tables["pages_norm"])
+        stages.append(r)
+
+        def compute_pairs():
+            blocks = blocking.add_block_keys(
+                norm_df,
+                id_col=cfg.id_col,
+                text_col="norm_text",
+                host_col="host",
+                n_perm=cfg.n_perm,
+                rows_per_band=cfg.rows_per_band,
+                shingle_k=cfg.shingle_k,
+                passes=cfg.blocking_passes,
+            )
+            return candidates.candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+
+        pairs_df, r = self._stage("candidates", [stages[-1].snapshot_id], compute_pairs,
+                                  self.tables["pairs"])
+        stages.append(r)
+
+        def compute_scores():
+            with_text = scoring.attach_texts(pairs_df, norm_df, id_col=cfg.id_col,
+                                             text_col="norm_text")
+            scored = scoring.score_pairs(with_text, tau=cfg.tau, scorers=cfg.scorers)
+            return scored.select("id_a", "id_b", "block_pass", "block_key",
+                                 *[c for c in cfg.scorers if c in scored.columns])
+
+        scores_df, r = self._stage("scores", [stages[-1].snapshot_id], compute_scores,
+                                   self.tables["scores"])
+        stages.append(r)
+
+        matched = scores_df.where(F.col(cfg.score_col) >= F.lit(cfg.tau))
+
+        def compute_clusters():
+            comps = clustering.connected_components(matched)
+            return clustering.attach_clusters(
+                norm_df.select(cfg.id_col, "norm_text"),
+                comps.withColumnRenamed("doc_id", cfg.id_col),
+                id_col=cfg.id_col,
+            )
+
+        clusters_df, r = self._stage("clusters", [stages[-1].snapshot_id], compute_clusters,
+                                     self.tables["clusters"])
+        stages.append(r)
+
+        def compute_reps():
+            return consensus.elect_representatives(
+                clusters_df, method=cfg.consensus_method,
+                text_col="norm_text", id_col=cfg.id_col,
+            )
+
+        reps_df, r = self._stage("consensus", [stages[-1].snapshot_id], compute_reps,
+                                 self.tables["representatives"])
+        stages.append(r)
+
+        self._write_metrics(clusters_df, "clusters")
+        self._flush_lineage()
+        return ERRun(clusters=clusters_df, representatives=reps_df, matched=matched,
+                     stages=stages)

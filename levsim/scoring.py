@@ -1,0 +1,70 @@
+"""Pair scoring stage: attach texts to candidate pairs and score with the
+Arrow-batched kernels.
+
+Plan shape (what .explain should show): two shuffled hash/sort-merge joins
+on doc_id to attach (text, length) to each side, a WholeStageCodegen
+prefilter on the length bound, then ONE ArrowEvalPython node computing all
+requested scores in a single Python round-trip.
+
+One-side-cache affinity (reference CachedIndel/CachedLevenshtein,
+_levenshtein.hpp:488,600,666): sortWithinPartitions(id_a) groups equal
+left-side strings adjacently inside every Arrow batch, so per-pattern setup
+(prefix strip, bitmask build) amortizes across a run of pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import prefilter, udfs
+
+
+def attach_texts(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """pairs(id_a, id_b, ...) + docs(doc_id, text) -> pairs with text_a/text_b."""
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.length(text_col).alias("len_a"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.length(text_col).alias("len_b"),
+    )
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def score_pairs(
+    pairs_with_text: DataFrame,
+    tau: Optional[float] = None,
+    scorers: Sequence[str] = ("ratio",),
+    sort_for_cache: bool = True,
+) -> DataFrame:
+    """Add score columns; if tau is given, apply the exact length prefilter
+    first (Catalyst-side) and the in-kernel cutoff inside the UDF."""
+    df = pairs_with_text
+    if tau is not None:
+        df = df.where(prefilter.ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
+    if sort_for_cache:
+        df = df.sortWithinPartitions("id_a")
+    if "ratio" in scorers:
+        df = df.withColumn("ratio", udfs.lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
+    if "jaro_winkler" in scorers:
+        df = df.withColumn("jaro_winkler", udfs.lev_jaro_winkler_udf()("text_a", "text_b"))
+    if "jaro" in scorers:
+        df = df.withColumn("jaro", udfs.lev_jaro_udf()("text_a", "text_b"))
+    if "distance" in scorers:
+        df = df.withColumn("lev_distance", udfs.lev_distance_udf()("text_a", "text_b"))
+    return df
+
+
+def matched_pairs(scored: DataFrame, tau: float, score_col: str = "ratio") -> DataFrame:
+    return scored.where(F.col(score_col) >= F.lit(tau))

@@ -1,0 +1,261 @@
+"""Pages table + Iceberg-semantics snapshot layer.
+
+``input_hint`` mandates an Iceberg table
+``pages(url string, warc_ts timestamp, html binary, text string, lang string)``.
+No Iceberg runtime jar ships in this sandbox (SURVEY.md §1), so
+``SnapshotTable`` provides Iceberg's semantics over Parquet — immutable
+snapshots, JSON manifests, atomic commit (rename-into-place), time travel,
+and validity checks for checkpoint-resume — behind an interface that a real
+Iceberg catalog can replace via config when the jar is present.
+
+The synthetic corpus generator is fully deterministic (fixed seed,
+content-derived ids; FIXTURES.md F1): seeded entity clusters of
+near-duplicate pages with known ground truth, perturbation rates calibrated
+so intra-cluster ratio >= ~0.9 and inter-cluster < 0.7.  ``html`` is a
+deterministic wrapper of ``text`` so extracted text is byte-identical per
+url (the input_hint invariant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_WORDS = (
+    "the web page archive crawl data entity record company product news "
+    "article report market system service global index price review html "
+    "content research science energy health travel sports music finance "
+    "weather forecast politics culture education technology software model "
+    "network security privacy engine search social media video image audio"
+).split()
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+
+
+def _entity_text(rng: np.random.RandomState, n_words: int) -> str:
+    return " ".join(_WORDS[i] for i in rng.randint(0, len(_WORDS), size=n_words))
+
+
+def _perturb(rng: np.random.RandomState, text: str, n_edits: int, n_swaps: int) -> str:
+    chars = list(text)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(n_edits):
+        if not chars:
+            break
+        op = rng.randint(0, 3)
+        pos = rng.randint(0, len(chars))
+        if op == 0:
+            chars[pos] = alpha[rng.randint(0, 26)]
+        elif op == 1:
+            chars.insert(pos, alpha[rng.randint(0, 26)])
+        else:
+            del chars[pos]
+    s = "".join(chars)
+    if n_swaps:
+        toks = s.split(" ")
+        for _ in range(n_swaps):
+            if len(toks) < 2:
+                break
+            i = rng.randint(0, len(toks) - 1)
+            toks[i], toks[i + 1] = toks[i + 1], toks[i]
+        s = " ".join(toks)
+    return s
+
+
+def generate_pages_pdf(n_entities: int = 200, seed: int = 42, dups_max: int = 8) -> pd.DataFrame:
+    """Deterministic synthetic pages corpus with ground-truth entity ids.
+
+    Returns pandas DataFrame with columns
+    (url, warc_ts, html, text, lang, entity_id).  ``entity_id`` is ground
+    truth for evaluation only — the pipeline never reads it.
+    """
+    rng = np.random.RandomState(seed)
+    rows = []
+    base_epoch = 1_700_000_000
+    idx = 0
+    for ent in range(n_entities):
+        n_words = 30 + int(rng.randint(0, 60))
+        base = _entity_text(rng, n_words)
+        n_dups = 1 + int(rng.randint(0, dups_max))
+        lang = LANGS[int(rng.randint(0, len(LANGS)))]
+        host_main = f"host{ent}.example.com"
+        for d in range(n_dups):
+            if d == 0:
+                text = base
+            else:
+                # calibrated per FIXTURES.md F1: ~1% char edits + rare single
+                # token swap keeps dup-vs-base ratio >= ~0.93 (dup-vs-dup
+                # >= ~0.87, recovered by transitive closure)
+                n_edits = int(rng.randint(0, max(2, len(base) // 100)))
+                n_swaps = 1 if rng.rand() < 0.3 else 0
+                text = _perturb(rng, base, n_edits, n_swaps)
+            # 75% of dups share the entity host; rest scatter to mirror hosts
+            # (recovered only by the minhash/tokensort passes)
+            if d > 0 and rng.rand() > 0.75:
+                host = f"mirror{int(rng.randint(0, 10))}.example.org"
+            else:
+                host = host_main
+            url = f"http://{host}/p/{ent}/{d}"
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": pd.Timestamp(base_epoch + idx * 61, unit="s", tz="UTC"),
+                    "html": f"<html><body>{text}</body></html>".encode("utf-8"),
+                    "text": text,
+                    "lang": lang,
+                    "entity_id": ent,
+                }
+            )
+            idx += 1
+    return pd.DataFrame(rows)
+
+
+def generate_pages(spark: SparkSession, n_entities: int = 200, seed: int = 42,
+                   dups_max: int = 8, partitions: int = 8) -> DataFrame:
+    pdf = generate_pages_pdf(n_entities, seed, dups_max)
+    return spark.createDataFrame(pdf).repartition(partitions)
+
+
+def extract_text_from_html(html_col):
+    """Inverse of the generator's html wrapper — byte-identical text
+    recovery, as a pure column expression."""
+    from pyspark.sql import functions as F
+
+    s = F.decode(html_col, "UTF-8")
+    return F.regexp_extract(s, r"<body>(.*)</body>", 1)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot layer (Iceberg semantics over Parquet)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: str
+    table: str
+    row_count: int
+    created_at: float
+    parent: Optional[str]
+    params: dict
+
+
+class SnapshotTable:
+    """Immutable snapshot table: every write is a new snapshot directory with
+    a JSON manifest, committed by atomic rename; ``current`` pointer file
+    updated last.  Readers only ever see fully-committed snapshots — resume
+    after a mid-write crash re-runs the interrupted stage (SURVEY.md §7(e))."""
+
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _snap_dir(self, snapshot_id: str) -> str:
+        return os.path.join(self.dir, "snap_" + snapshot_id)
+
+    def _manifest_path(self, snapshot_id: str) -> str:
+        return os.path.join(self._snap_dir(snapshot_id), "manifest.json")
+
+    # -- API -----------------------------------------------------------------
+    def exists(self, snapshot_id: str) -> bool:
+        return os.path.exists(self._manifest_path(snapshot_id))
+
+    def manifest(self, snapshot_id: str) -> Optional[dict]:
+        try:
+            with open(self._manifest_path(snapshot_id)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def current_id(self) -> Optional[str]:
+        try:
+            with open(os.path.join(self.dir, "current")) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    def list_snapshots(self) -> List[str]:
+        out = []
+        for d in sorted(os.listdir(self.dir)):
+            if d.startswith("snap_") and os.path.exists(
+                os.path.join(self.dir, d, "manifest.json")
+            ):
+                out.append(d[len("snap_"):])
+        return out
+
+    def write(self, df: DataFrame, snapshot_id: str, params: Optional[dict] = None,
+              parent: Optional[str] = None) -> SnapshotInfo:
+        """Write df as a new snapshot; atomic commit via rename-into-place."""
+        final = self._snap_dir(snapshot_id)
+        if self.exists(snapshot_id):
+            return self._info(snapshot_id)
+        tmp = tempfile.mkdtemp(prefix=f".tmp_{snapshot_id}_", dir=self.dir)
+        data_dir = os.path.join(tmp, "data")
+        df.write.mode("overwrite").parquet(data_dir)
+        count = df.sparkSession.read.parquet(data_dir).count()
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "table": self.name,
+            "row_count": count,
+            "created_at": time.time(),
+            "parent": parent,
+            "params": params or {},
+            "format": "parquet",
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        try:
+            os.replace(tmp, final)  # atomic on same filesystem
+        except OSError:
+            # lost a race with a concurrent writer of the same snapshot —
+            # deterministic ids mean contents are equivalent; keep theirs.
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not self.exists(snapshot_id):
+                raise
+        with open(os.path.join(self.dir, "current.tmp"), "w") as f:
+            f.write(snapshot_id)
+        os.replace(os.path.join(self.dir, "current.tmp"), os.path.join(self.dir, "current"))
+        return self._info(snapshot_id)
+
+    def read(self, spark: SparkSession, snapshot_id: Optional[str] = None) -> DataFrame:
+        """Read a snapshot (time travel with explicit id; current otherwise)."""
+        sid = snapshot_id or self.current_id()
+        if sid is None or not self.exists(sid):
+            raise FileNotFoundError(f"{self.name}: snapshot {sid!r} not found")
+        return spark.read.parquet(os.path.join(self._snap_dir(sid), "data"))
+
+    def _info(self, snapshot_id: str) -> SnapshotInfo:
+        m = self.manifest(snapshot_id)
+        assert m is not None
+        return SnapshotInfo(
+            snapshot_id=m["snapshot_id"],
+            table=m["table"],
+            row_count=m["row_count"],
+            created_at=m["created_at"],
+            parent=m.get("parent"),
+            params=m.get("params", {}),
+        )
+
+
+def snapshot_id_for(stage: str, params: dict, inputs: List[str]) -> str:
+    """Deterministic content-derived snapshot id: resume can test existence
+    BEFORE computing anything."""
+    h = hashlib.sha256()
+    h.update(stage.encode())
+    h.update(json.dumps(params, sort_keys=True, default=str).encode())
+    for i in inputs:
+        h.update(i.encode())
+    return h.hexdigest()[:16]

@@ -1,0 +1,181 @@
+"""Arrow-batched pandas UDFs wrapping the batch scorers.
+
+These are the ONLY Python↔JVM row-data crossings in the engine's hot path
+(SURVEY.md §3): everything before them (blocking, prefilters) and after them
+(thresholds, aggregation, clustering) is pure Catalyst column algebra.
+
+Each factory returns a pandas_udf; parameters (cutoff, weights, …) are bound
+at plan-construction time so the UDF closure ships to executors fully
+configured.  Scores are deterministic pure functions of their inputs —
+safe under Spark task retries and speculative execution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import batch, kernels
+
+
+def _mask(values, nulls, dtype):
+    s = pd.Series(values, dtype=dtype)
+    if nulls.any():
+        s[nulls] = None
+    return s
+
+
+def lev_distance_udf(score_cutoff: Optional[int] = None, weights: Tuple[int, int, int] = (1, 1, 1)):
+    """Levenshtein distance column; reference cutoff semantics
+    (``__init__.py:84-88``: > cutoff -> cutoff+1)."""
+
+    @pandas_udf(LongType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_distance(a.tolist(), b.tolist(), score_cutoff=score_cutoff,
+                                           weights=weights)
+        return _mask(vals, nulls, "Int64")
+
+    return _udf
+
+
+def lev_ratio_udf(score_cutoff: Optional[float] = None):
+    """Normalized indel similarity column (reference ``ratio``)."""
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_ratio(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
+        return _mask(vals, nulls, "float64")
+
+    return _udf
+
+
+def lev_jaro_udf():
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_jaro(a.tolist(), b.tolist())
+        return _mask(vals, nulls, "float64")
+
+    return _udf
+
+
+def lev_jaro_winkler_udf(prefix_weight: float = 0.1):
+    if not (0.0 <= prefix_weight <= 0.25):
+        raise ValueError("prefix_weight has to be in the range 0.0 - 0.25")
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_jaro_winkler(a.tolist(), b.tolist(), prefix_weight=prefix_weight)
+        return _mask(vals, nulls, "float64")
+
+    return _udf
+
+
+def lev_hamming_udf(score_cutoff: Optional[int] = None):
+    @pandas_udf(LongType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_hamming(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
+        return _mask(vals, nulls, "Int64")
+
+    return _udf
+
+
+EDITOPS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("op", StringType()),
+            StructField("spos", IntegerType()),
+            StructField("dpos", IntegerType()),
+        ]
+    )
+)
+
+OPCODES_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("op", StringType()),
+            StructField("i1", IntegerType()),
+            StructField("i2", IntegerType()),
+            StructField("j1", IntegerType()),
+            StructField("j2", IntegerType()),
+        ]
+    )
+)
+
+
+def lev_editops_udf():
+    """Minimal edit script per pair (diagnostic path, O(mn) memory per pair —
+    not for the bulk scoring hot path; see SURVEY.md §2a editops row)."""
+
+    @pandas_udf(EDITOPS_SCHEMA)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append([{"op": o, "spos": s, "dpos": d} for (o, s, d) in kernels.editops(x, y)])
+        return pd.Series(out)
+
+    return _udf
+
+
+def lev_opcodes_udf():
+    @pandas_udf(OPCODES_SCHEMA)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(
+                    [{"op": o, "i1": i1, "i2": i2, "j1": j1, "j2": j2}
+                     for (o, i1, i2, j1, j2) in kernels.opcodes(x, y)]
+                )
+        return pd.Series(out)
+
+    return _udf
+
+
+def seqratio_udf():
+    """Similarity of two array<string> columns, order-sensitive (reference
+    ``seqratio``)."""
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(kernels.seqratio(list(x), list(y)))
+        return pd.Series(out, dtype="float64")
+
+    return _udf
+
+
+def setratio_udf():
+    """Similarity of two array<string> columns, order-free optimal assignment
+    (reference ``setratio``)."""
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(kernels.setratio(list(x), list(y)))
+        return pd.Series(out, dtype="float64")
+
+    return _udf

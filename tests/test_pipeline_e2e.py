@@ -1,0 +1,86 @@
+"""End-to-end ER pipeline gates (SURVEY.md M4/M5):
+- pairwise F1 >= 0.99 against ground truth on the synthetic pages corpus
+- checkpoint-resume: rerun skips completed stages, identical outputs
+- clustering correctness on a hand-built graph
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from levsim import clustering, evaluate, tables
+from levsim.pipeline import ERConfig, ERPipeline
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return tables.generate_pages(spark, n_entities=120, seed=42).cache()
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 1)], ["id_a", "id_b"]
+    )
+    comps = {r.doc_id: r.cluster_id for r in clustering.connected_components(edges).collect()}
+    # {1,2,3,7,8,9} one component, {5,6} another
+    assert comps[1] == comps[2] == comps[3] == comps[7] == comps[8] == comps[9] == 1
+    assert comps[5] == comps[6] == 5
+
+
+def test_pipeline_f1(spark, pages, tmp_path):
+    pipe = ERPipeline(spark, str(tmp_path / "er"), ERConfig(tau=0.87))
+    run = pipe.run(pages)
+    predicted = evaluate.pairs_from_clusters(run.clusters, id_col="url")
+    truth = evaluate.truth_pairs_from_entities(pages, id_col="url")
+    m = evaluate.pair_f1(predicted, truth)
+    print("pipeline F1 metrics:", m)
+    assert m["f1"] >= 0.99, m
+
+
+def test_pipeline_resume(spark, pages, tmp_path):
+    wd = str(tmp_path / "er2")
+    pipe1 = ERPipeline(spark, wd, ERConfig(tau=0.87))
+    run1 = pipe1.run(pages)
+    assert all(not s.skipped for s in run1.stages)
+    reps1 = {r.cluster_id: r.representative for r in run1.representatives.collect()}
+
+    # second run over the same input: every stage must be skipped (resume),
+    # outputs byte-identical
+    pipe2 = ERPipeline(spark, wd, ERConfig(tau=0.87))
+    run2 = pipe2.run(pages)
+    assert all(s.skipped for s in run2.stages), [(s.stage, s.skipped) for s in run2.stages]
+    reps2 = {r.cluster_id: r.representative for r in run2.representatives.collect()}
+    assert reps1 == reps2
+
+    # changed config -> new snapshot ids -> recompute (no false cache hits)
+    pipe3 = ERPipeline(spark, wd, ERConfig(tau=0.95))
+    run3 = pipe3.run(pages)
+    assert any(not s.skipped for s in run3.stages)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    t = tables.SnapshotTable(str(tmp_path), "demo")
+    df1 = spark.range(5)
+    df2 = spark.range(10)
+    t.write(df1, "aaa")
+    t.write(df2, "bbb")
+    assert t.current_id() == "bbb"
+    assert t.read(spark, "aaa").count() == 5  # time travel
+    assert t.read(spark).count() == 10
+    assert set(t.list_snapshots()) == {"aaa", "bbb"}
+
+
+def test_consensus_representative_quality(spark, pages, tmp_path):
+    pipe = ERPipeline(spark, str(tmp_path / "er3"), ERConfig(tau=0.87))
+    run = pipe.run(pages)
+    # every multi-member cluster's representative is one of its member texts
+    # (setmedian is a medoid)
+    reps = run.representatives.where(F.col("n_members") > 1)
+    joined = reps.join(
+        run.clusters.groupBy("cluster_id").agg(F.collect_set("norm_text").alias("texts")),
+        "cluster_id",
+    ).collect()
+    assert len(joined) > 10
+    for r in joined:
+        assert r.representative in r.texts
