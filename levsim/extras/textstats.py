@@ -1,0 +1,135 @@
+"""Text analysis for training-data curation — all pure Spark column
+expressions (JVM-side, whole-stage codegen, SQL-oracle-able):
+
+- token / char counts, avg word length
+- quality score: punctuation ratio, alpha ratio, stopword ratio,
+  repetition ratio (composite in [0,1])
+- language id: stopword-hit argmax over a fixed per-language lexicon
+  (n-gram-free heuristic; deterministic)
+- document fingerprint: polynomial rolling hash over code points
+  (sequential fold -> identical in any engine that folds left-to-right)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "los", "por", "con", "una", "para", "es"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "des", "pour", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
+}
+
+_FP_MOD = 1_000_000_007
+_FP_MULT = 31
+
+
+def tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_word_len(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    total = F.length(F.regexp_replace(c, r"\s+", ""))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """Number of tokens that are stopwords of the given language."""
+    toks = tokens(col)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col, lang).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(col) -> Column:
+    """1 - distinct_tokens/total_tokens: high values flag boilerplate/spam."""
+    toks = tokens(col)
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return F.when(n > 0, 1.0 - d.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col, lang: str = "en") -> Column:
+    """Composite quality in [0,1]: rewards alpha text with stopwords and a
+    sane word-length profile, penalizes punctuation soup and repetition.
+    Heuristic of the Gopher/C4-style curation family, as a pure column."""
+    awl = avg_word_len(col)
+    wl_ok = F.when((awl >= 3.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        0.3 * alpha_ratio(col)
+        + 0.3 * (1.0 - F.least(punct_ratio(col) * 4.0, F.lit(1.0)))
+        + 0.2 * F.least(stopword_ratio(col, lang) * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - repetition_ratio(col)) * wl_ok
+    )
+    return F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6)
+
+
+def lang_id(col) -> Column:
+    """argmax of per-language stopword hits; 'und' when no hits.  Ties break
+    by language-code order (deterministic)."""
+    pairs = [(lang, stopword_hits(col, lang)) for lang in sorted(STOPWORDS)]
+    # build struct array (hits DESC, lang ASC) and take max
+    best = F.greatest(*[F.struct(h.alias("h"), F.lit(len(STOPWORDS) - i).alias("o"),
+                                 F.lit(lang).alias("lang"))
+                        for i, (lang, h) in enumerate(pairs)])
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Polynomial rolling hash over code points:
+    fold(chars, 0, (acc, ch) -> (acc*31 + codepoint(ch)) % 1e9+7).
+    Sequential fold — bit-identical in DuckDB's list_reduce oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _FP_MULT + F.ascii(ch)) % _FP_MOD,
+    )
+
+
+def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_chars_calc", char_count(c))
+        .withColumn("avg_word_len", F.round(avg_word_len(c), 6))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio(c), 6))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

@@ -1,0 +1,138 @@
+"""Tests for the training-data operators: dedup, simsearch, textstats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from levsim.extras import dedup, multimodal, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+        (4, "completely different text about stock markets and finance", "en"),
+        (5, "der schnelle braune fuchs springt und das ist gut", "de"),
+        (6, "la rapida zorra marron salta sobre el perro con una para", "es"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 1 and groups[0].dup_ids == [1, 2]
+    kept = dedup.dedup_exact(docs, "doc_id", "text")
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_candidates(spark, docs):
+    pairs = dedup.minhash_candidate_pairs(docs, "doc_id", "text",
+                                          rows_per_band=2, shingle_k=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got           # identical -> all bands agree
+    assert (1, 3) in got or (2, 3) in got  # near dup caught by some band
+    assert (1, 4) not in got
+
+
+def test_minhash_determinism(spark, docs):
+    from levsim.blocking import band_keys, minhash_signature
+
+    s1 = minhash_signature("hello world foo bar", 64, 3, 0x5EED)
+    s2 = minhash_signature("hello world foo bar", 64, 3, 0x5EED)
+    assert (s1 == s2).all()
+    assert band_keys(s1, 4) == band_keys(s2, 4)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = dedup.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
+    got = {(r.id_a, r.id_b): r.hamming_bits for r in pairs.collect()}
+    assert got[(1, 2)] == 0        # identical texts -> identical simhash
+    assert (1, 3) in got           # near dup within hamming budget
+    assert (1, 4) not in got
+
+
+def test_jaccard_dedup(spark, docs):
+    d = docs.withColumn("bk", F.col("lang"))
+    pairs = dedup.jaccard_dedup_pairs(d, "doc_id", "text", "bk", tau=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.5
+    assert (1, 4) not in got
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.1] + [0.0] * 6)], ["query_id", "embedding"]
+    )
+    top = simsearch.brute_force_topk(corpus, queries, k=2).collect()
+    assert top[0].neighbor_id == 0 and top[0].rank == 1
+    assert top[1].neighbor_id == 1 and top[1].rank == 2
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 64)
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(40)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(i, (base[i] + rng.randn(64) * 0.05).tolist()) for i in range(5)],
+        ["query_id", "embedding"],
+    )
+    exact = simsearch.brute_force_topk(corpus, queries, k=1).collect()
+    approx = simsearch.lsh_topk(corpus, queries, k=1, n_planes=16, bands=8).collect()
+    exact_map = {r.query_id: r.neighbor_id for r in exact}
+    approx_map = {r.query_id: r.neighbor_id for r in approx}
+    # near-identical vectors collide in most bands; recall@1 should be high
+    hits = sum(1 for q, n in exact_map.items() if approx_map.get(q) == n)
+    assert hits >= 4, (exact_map, approx_map)
+
+
+def test_textstats(spark, docs):
+    out = {r.doc_id: r for r in textstats.with_textstats(docs).collect()}
+    assert out[1].n_tokens == 9
+    assert out[1].lang_pred == "en"
+    assert out[5].lang_pred == "de"
+    assert out[6].lang_pred == "es"
+    assert 0.0 <= out[1].quality <= 1.0
+    # fingerprint: deterministic, distinct for distinct texts, equal for dups
+    assert out[1].fingerprint == out[2].fingerprint
+    assert out[1].fingerprint != out[3].fingerprint
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_features(media, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert r.n_bytes > 0 and len(r.sha256) == 64
+    # determinism: same payload -> same feature
+    again = {r.media_id: r.feature for r in multimodal.extract_features(media, True).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xxx", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    # videos have duration 3000ms -> timestamps 0,1000,2000,3000 = 4 frames
+    assert all(r["count"] == 4 for r in got)
+    assert len(got) == 3  # every third row is video
