@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship ER mini-pipeline on sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 inventory).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+query; rows-only entries (ratio/median family internals, MinHash/SimHash
+hash-dependent ops) are documented inline.
+
+Float-determinism policy: every floating score emitted by a checked query is
+either (a) bit-identical between engines by construction (same IEEE double
+expression tree — fuzz-verified for jaro/jaro_winkler against DuckDB), or
+(b) rounded to 6 (or 3 for cross-engine cosine) decimals on BOTH sides.
+All rankings are computed on values equal in both engines.
 """
 
 from __future__ import annotations
@@ -12,27 +18,468 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# stopword lexicon shared with the SQL oracles
+from levsim.extras.textstats import STOPWORDS
+
+_CUTOFF = 150  # score_cutoff used by the cutoff-semantics query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate pairs: self-join on (lang, source), id_a < id_b.
+    The fixed blocking key bounds the quadratic blow-up (max group ~16 rows
+    at sf0.01); mirrors the oracle CTE ``p`` exactly."""
+    d = _docs(spark, sf_dir)
+    a = d.select("lang", "source", F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select("lang", "source", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return a.join(b, ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
+
+
+_P_CTE = (
+    "WITH p AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b, "
+    "a.text AS text_a, b.text AS text_b FROM documents a JOIN documents b "
+    "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) "
+)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_lev_distance_pairs(spark, sf_dir):
+    from levsim.udfs import lev_distance_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", lev_distance_udf()("text_a", "text_b").alias("dist")
+    )
+
+
+def q_lev_distance_cutoff(spark, sf_dir):
+    from levsim.udfs import lev_distance_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        lev_distance_udf(score_cutoff=_CUTOFF)("text_a", "text_b").alias("dist_c"),
+    )
+
+
+def q_lev_ratio_pairs(spark, sf_dir):
+    from levsim.udfs import lev_ratio_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.round(lev_ratio_udf()("text_a", "text_b"), 6).alias("ratio")
+    )
+
+
+def q_jaro_pairs(spark, sf_dir):
+    from levsim.udfs import lev_jaro_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.round(lev_jaro_udf()("text_a", "text_b"), 6).alias("jaro")
+    )
+
+
+def q_jaro_winkler_pairs(spark, sf_dir):
+    from levsim.udfs import lev_jaro_winkler_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.round(lev_jaro_winkler_udf()("text_a", "text_b"), 6).alias("jw")
+    )
+
+
+def q_hamming_pairs(spark, sf_dir):
+    from levsim.udfs import lev_hamming_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", lev_hamming_udf()("text_a", "text_b").alias("ham")
+    )
+
+
+def q_editops_count_pairs(spark, sf_dir):
+    # |editops(a,b)| is the minimal script length == levenshtein distance —
+    # validates the editops path against the SQL levenshtein oracle
+    from levsim.udfs import lev_editops_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.size(lev_editops_udf()("text_a", "text_b")).alias("n_ops")
+    )
+
+
+def q_setmedian_groups(spark, sf_dir):
+    from levsim.consensus import group_median_table
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", "doc_id", F.substring("text", 1, 32).alias("t")
+    )
+    return group_median_table(d, ["lang", "source"], "t", "doc_id",
+                              method="setmedian", out_col="setmedian")
+
+
+def q_quickmedian_groups(spark, sf_dir):  # rows-only (no SQL quickmedian)
+    from levsim.consensus import group_median_table
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", "doc_id", F.substring("text", 1, 32).alias("t")
+    )
+    return group_median_table(d, ["lang", "source"], "t", "doc_id",
+                              method="quickmedian", out_col="quickmedian")
+
+
+def q_median_groups(spark, sf_dir):  # rows-only (no SQL greedy median)
+    from levsim.consensus import group_median_table
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", "doc_id", F.substring("text", 1, 16).alias("t")
+    )
+    return group_median_table(d, ["lang", "source"], "t", "doc_id",
+                              method="median", out_col="median")
+
+
+def q_block_pair_counts(spark, sf_dir):
+    return _pairs(spark, sf_dir).groupBy("lang", "source").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+def q_topk_jw_matches(spark, sf_dir):
+    from levsim.udfs import lev_jaro_winkler_udf
+
+    p = _pairs(spark, sf_dir).withColumn(
+        "jw", F.round(lev_jaro_winkler_udf()("text_a", "text_b"), 6)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("jw"), F.asc("id_b"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("id_a", "id_b", "jw", "rnk")
+    )
+
+
+def q_length_histogram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.floor(F.col("n_chars") / 50).alias("bucket")).agg(
+        F.count("*").alias("n_docs"), F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_distinct_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    from levsim.extras.dedup import token_jaccard_col
+
+    p = _pairs(spark, sf_dir).withColumn(
+        "jaccard", F.round(token_jaccard_col(F.col("text_a"), F.col("text_b")), 6)
+    )
+    return p.where(F.col("jaccard") >= 0.2).select("id_a", "id_b", "jaccard")
+
+
+def q_token_stats_lang(spark, sf_dir):
+    from levsim.extras.textstats import token_count
+
+    d = _docs(spark, sf_dir).withColumn("n_tokens", token_count(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def q_punct_alpha_stats(spark, sf_dir):
+    from levsim.extras.textstats import alpha_ratio, punct_ratio
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def q_lang_id_pred(spark, sf_dir):
+    from levsim.extras.textstats import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    from levsim.extras.textstats import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_embedding_norm(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return e.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from levsim.extras.simsearch import cosine_col
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    scored = c.join(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("cosine", F.round(cosine_col(F.col("cvec"), F.col("qvec")), 3))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def q_chain_components(spark, sf_dir):
+    """Distributed CC validated against a window oracle: edges chain
+    consecutive doc_ids within (lang, source), so every (lang, source) group
+    is one component whose id is its min doc_id.  Path graphs are the
+    worst case for label propagation — exercises the pointer-jumping path."""
+    from levsim.clustering import connected_components
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        d.withColumn("next_id", F.lead("doc_id").over(w))
+        .where(F.col("next_id").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("next_id").alias("id_b"))
+    )
+    comps = connected_components(edges)
+    # singletons (groups of size 1) keep their own id
+    return (
+        d.select("doc_id").join(comps, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):  # rows-only (hash-based keys)
+    from levsim.extras.dedup import minhash_candidate_pairs
+
+    d = _docs(spark, sf_dir)
+    return minhash_candidate_pairs(d, "doc_id", "text", rows_per_band=2, shingle_k=2)
+
+
+def q_simhash_pairs(spark, sf_dir):  # rows-only (hash-based signatures)
+    from levsim.extras.dedup import simhash_candidate_pairs
+
+    d = _docs(spark, sf_dir)
+    return simhash_candidate_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+def q_seqratio_groups(spark, sf_dir):  # rows-only (no SQL seqratio)
+    from levsim.udfs import seqratio_udf, setratio_udf
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", "doc_id", F.slice(F.split("text", " "), 1, 6).alias("toks")
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    p = (
+        d.withColumn("toks_next", F.lead("toks").over(w))
+        .withColumn("id_b", F.lead("doc_id").over(w))
+        .where(F.col("id_b").isNotNull())
+    )
+    return p.select(
+        F.col("doc_id").alias("id_a"), "id_b",
+        F.round(seqratio_udf()("toks", "toks_next"), 6).alias("seqratio"),
+        F.round(setratio_udf()("toks", "toks_next"), 6).alias("setratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the ER pipeline core (block -> prefilter -> score -> cluster)
+    over sf0.001 documents; returns scored matched pairs with cluster ids."""
+    from levsim.clustering import connected_components
+    from levsim.prefilter import ratio_length_bound
+    from levsim.udfs import lev_jaro_winkler_udf, lev_ratio_udf
+
+    tau = 0.48  # word-soup corpus: ~100 same-vocabulary pairs at sf0.001
+    p = _pairs(spark, "/root/testdata/sf0.001")
+    p = p.withColumn("len_a", F.length("text_a")).withColumn("len_b", F.length("text_b"))
+    p = p.where(ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
+    p = p.withColumn("ratio", lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
+    matched = p.where(F.col("ratio") >= tau).withColumn(
+        "jw", lev_jaro_winkler_udf()("text_a", "text_b")
+    )
+    comps = connected_components(matched)
+    return (
+        matched.join(comps.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .select("id_a", "id_b", F.round("ratio", 6).alias("ratio"),
+                F.round("jw", 6).alias("jw"), "cluster_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lev_distance_pairs": q_lev_distance_pairs,
+        "lev_distance_cutoff": q_lev_distance_cutoff,
+        "lev_ratio_pairs": q_lev_ratio_pairs,
+        "jaro_pairs": q_jaro_pairs,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "hamming_pairs": q_hamming_pairs,
+        "editops_count_pairs": q_editops_count_pairs,
+        "setmedian_groups": q_setmedian_groups,
+        "quickmedian_groups": q_quickmedian_groups,
+        "median_groups": q_median_groups,
+        "block_pair_counts": q_block_pair_counts,
+        "topk_jw_matches": q_topk_jw_matches,
+        "length_histogram": q_length_histogram,
+        "distinct_text_stats": q_distinct_text_stats,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "token_stats_lang": q_token_stats_lang,
+        "punct_alpha_stats": q_punct_alpha_stats,
+        "lang_id_pred": q_lang_id_pred,
+        "fingerprint_docs": q_fingerprint_docs,
+        "embedding_norm": q_embedding_norm,
+        "cosine_topk": q_cosine_topk,
+        "chain_components": q_chain_components,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "seqratio_groups": q_seqratio_groups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(trim(text), ' '), t -> list_contains([{words}], t)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ham = (
+        "hamming(substr(text_a, 1, least(length(text_a), length(text_b))), "
+        "substr(text_b, 1, least(length(text_a), length(text_b)))) "
+        "+ abs(length(text_a) - length(text_b))"
+    )
+    jacc = (
+        "round(len(list_intersect(list_distinct(string_split(text_a, ' ')), "
+        "list_distinct(string_split(text_b, ' ')))) * 1.0 / "
+        "len(list_distinct(list_concat(list_distinct(string_split(text_a, ' ')), "
+        "list_distinct(string_split(text_b, ' '))))), 6)"
+    )
+    lang_hits = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, {_stop_sql(lang)} AS n FROM documents"
+        for lang in sorted(STOPWORDS)
+    )
+    return {
+        "lev_distance_pairs": _P_CTE + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
+        "lev_distance_cutoff": _P_CTE
+        + f"SELECT id_a, id_b, least(levenshtein(text_a, text_b), {_CUTOFF + 1}) AS dist_c FROM p",
+        # lev_ratio_pairs: rows-only — DuckDB has no LCS/indel builtin
+        # (covered by golden + property + Spark<->local equivalence tests)
+        "jaro_pairs": _P_CTE
+        + "SELECT id_a, id_b, round(jaro_similarity(text_a, text_b), 6) AS jaro FROM p",
+        "jaro_winkler_pairs": _P_CTE
+        + "SELECT id_a, id_b, round(jaro_winkler_similarity(text_a, text_b), 6) AS jw FROM p",
+        "hamming_pairs": _P_CTE + f"SELECT id_a, id_b, {ham} AS ham FROM p",
+        "editops_count_pairs": _P_CTE
+        + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS n_ops FROM p",
+        "setmedian_groups": (
+            "WITH m AS (SELECT lang, source, doc_id, substr(text, 1, 32) AS t FROM documents), "
+            "s AS (SELECT a.lang, a.source, a.doc_id, a.t, "
+            "sum(levenshtein(a.t, b.t)) AS sd FROM m a JOIN m b "
+            "ON a.lang = b.lang AND a.source = b.source "
+            "GROUP BY a.lang, a.source, a.doc_id, a.t) "
+            "SELECT lang, source, (array_agg(t ORDER BY sd, doc_id))[1] AS setmedian "
+            "FROM s GROUP BY lang, source"
+        ),
+        "block_pair_counts": _P_CTE
+        + "SELECT lang, source, count(*) AS n_pairs FROM p GROUP BY lang, source",
+        "topk_jw_matches": _P_CTE
+        + (
+            "SELECT id_a, id_b, jw, rnk FROM ("
+            "SELECT id_a, id_b, round(jaro_winkler_similarity(text_a, text_b), 6) AS jw, "
+            "row_number() OVER (PARTITION BY id_a "
+            "ORDER BY jaro_winkler_similarity(text_a, text_b) DESC, id_b) AS rnk FROM p"
+            ") WHERE rnk <= 2"
+        ),
+        "length_histogram": (
+            "SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n_docs, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        "distinct_text_stats": (
+            "SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts, "
+            "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang"
+        ),
+        "token_jaccard_pairs": _P_CTE
+        + f"SELECT id_a, id_b, {jacc} AS jaccard FROM p WHERE {jacc} >= 0.2",
+        "token_stats_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(len(string_split(trim(text), ' '))) AS sum_tokens, "
+            "min(len(string_split(trim(text), ' '))) AS min_tokens, "
+            "max(len(string_split(trim(text), ' '))) AS max_tokens "
+            "FROM documents GROUP BY lang"
+        ),
+        "punct_alpha_stats": (
+            "SELECT doc_id, "
+            "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+            "/ length(text), 6) AS alpha_ratio, "
+            "round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 "
+            "/ length(text), 6) AS punct_ratio "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        "lang_id_pred": (
+            f"WITH hits AS ({lang_hits}), "
+            "best AS (SELECT doc_id, (array_agg(lang ORDER BY n DESC, lang ASC))[1] AS lp, "
+            "max(n) AS mx FROM hits GROUP BY doc_id) "
+            "SELECT doc_id, CASE WHEN mx > 0 THEN lp ELSE 'und' END AS lang_pred FROM best"
+        ),
+        "fingerprint_docs": (
+            "SELECT doc_id, list_reduce("
+            "list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), "
+            "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"
+        ),
+        "embedding_norm": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm FROM embeddings"
+        ),
+        "cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "round(list_sum(list_transform(list_zip(cvec, qvec), "
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+            "/ (sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+            "* sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) "
+            "AS cosine FROM c JOIN q ON neighbor_id != query_id) "
+            "SELECT query_id, neighbor_id, cosine, rnk FROM ("
+            "SELECT query_id, neighbor_id, cosine, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk "
+            "FROM s) WHERE rnk <= 3"
+        ),
+        "chain_components": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id "
+            "FROM documents"
+        ),
+    }

@@ -1,0 +1,127 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+  q1_er_scoring     blocked pair generation + length prefilter + Arrow
+                    ratio/jw scoring (the pipeline hot path)
+  q2_er_pipeline    + threshold + connected components + medoid consensus
+  q3_minhash_dedup  MinHash-LSH candidates + verified near-dup pairs
+  q4_cosine_topk    brute-force cosine top-k over embeddings
+  q5_textstats      full text-quality projection + aggregation
+
+Extra keys (beyond the driver contract): pairs_scored, pairs_per_sec,
+cpus — used by BENCH/BASELINE.md scaling analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from levsim.session import get_spark
+
+    spark = get_spark(app_name="levsim-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus) * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from levsim.clustering import connected_components
+    from levsim.consensus import elect_representatives
+    from levsim.extras.dedup import minhash_candidate_pairs
+    from levsim.extras.simsearch import brute_force_topk
+    from levsim.extras.textstats import with_textstats
+    from levsim.prefilter import ratio_length_bound
+    from levsim.udfs import lev_jaro_winkler_udf, lev_ratio_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()  # materialize cache outside timings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {"n_docs": n_docs, "cpus": int(cpus)}
+
+    def scored_pairs():
+        tau = 0.5
+        p = entrymod._pairs(spark, sf_dir)
+        p = p.withColumn("len_a", F.length("text_a")).withColumn("len_b", F.length("text_b"))
+        p = p.where(ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
+        p = p.sortWithinPartitions("id_a")
+        p = p.withColumn("ratio", lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
+        p = p.withColumn("jw", lev_jaro_winkler_udf()("text_a", "text_b"))
+        return p
+
+    # q1: scoring hot path
+    t0 = time.perf_counter()
+    n_pairs = scored_pairs().count()
+    timings["q1_er_scoring"] = round(time.perf_counter() - t0, 3)
+    extra["pairs_scored"] = n_pairs
+    extra["pairs_per_sec"] = round(n_pairs / timings["q1_er_scoring"], 1)
+
+    # q2: full pipeline (threshold -> CC -> consensus)
+    t0 = time.perf_counter()
+    matched = scored_pairs().where(F.col("ratio") >= 0.62)
+    comps = connected_components(matched)
+    clustered = (
+        docs.select(F.col("doc_id"), F.col("text").alias("norm_text"))
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    n_reps = elect_representatives(clustered, method="setmedian").count()
+    timings["q2_er_pipeline"] = round(time.perf_counter() - t0, 3)
+    extra["n_clusters"] = n_reps
+
+    # q3: minhash dedup
+    t0 = time.perf_counter()
+    cand = minhash_candidate_pairs(docs, "doc_id", "text", rows_per_band=2, shingle_k=2)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    verified = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("ratio", lev_ratio_udf(score_cutoff=0.6)("text_a", "text_b"))
+        .where(F.col("ratio") >= 0.6)
+    )
+    extra["minhash_verified_pairs"] = verified.count()
+    timings["q3_minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    # q4: cosine top-k
+    t0 = time.perf_counter()
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    extra["topk_rows"] = brute_force_topk(emb, q, k=10).count()
+    timings["q4_cosine_topk"] = round(time.perf_counter() - t0, 3)
+
+    # q5: textstats projection + aggregate
+    t0 = time.perf_counter()
+    stats = with_textstats(docs, "text")
+    extra["quality_docs"] = stats.where(F.col("quality") > 0.5).count()
+    timings["q5_textstats"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "er_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

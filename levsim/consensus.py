@@ -65,6 +65,43 @@ def _consensus_fn(method: str, improve_rounds: int, text_col: str, id_col: str):
     return fn
 
 
+def group_median_table(
+    df: DataFrame,
+    group_cols: list,
+    text_col: str,
+    order_col: str,
+    method: str = "setmedian",
+    out_col: str = "median_text",
+) -> DataFrame:
+    """Per-group median election over arbitrary grouping columns, preserving
+    the reference's list semantics exactly: members are passed in
+    ``order_col`` order (ties -> first in list, matching the reference's
+    strict-< argmin), weights all 1, duplicates kept as-is."""
+    from pyspark.sql import functions as F
+
+    schema = StructType(
+        [StructField(c, df.schema[c].dataType) for c in group_cols]
+        + [StructField(out_col, StringType())]
+    )
+
+    def fn(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        texts = pdf[text_col].dropna().tolist()
+        if method == "setmedian":
+            rep = kernels.setmedian(texts) if texts else None
+        elif method == "quickmedian":
+            rep = kernels.quickmedian(texts) if texts else None
+        elif method == "median":
+            rep = kernels.median(texts) if texts else None
+        else:
+            raise ValueError(method)
+        row = {c: [k] for c, k in zip(group_cols, keys)}
+        row[out_col] = [rep]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(fn, schema)
+
+
 def elect_representatives(
     clustered: DataFrame,
     method: str = "setmedian",
