@@ -46,7 +46,8 @@ def main() -> None:
     from levsim.prefilter import ratio_length_bound
     from levsim.udfs import lev_jaro_winkler_udf, lev_ratio_udf
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # widen the single-file scan so joins fan out over all cores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus) * 2).cache()
     n_docs = docs.count()  # materialize cache outside timings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     emb.count()
@@ -56,7 +57,11 @@ def main() -> None:
 
     def scored_pairs():
         tau = 0.5
-        p = entrymod._pairs(spark, sf_dir)
+        a = docs.select("lang", "source", F.col("doc_id").alias("id_a"),
+                        F.col("text").alias("text_a"))
+        b = docs.select("lang", "source", F.col("doc_id").alias("id_b"),
+                        F.col("text").alias("text_b"))
+        p = a.join(b, ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
         p = p.withColumn("len_a", F.length("text_a")).withColumn("len_b", F.length("text_b"))
         p = p.where(ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
         p = p.sortWithinPartitions("id_a")

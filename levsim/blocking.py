@@ -57,20 +57,39 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _token_hashes(tokens: List[str]) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") % _P
-         for t in tokens),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+from functools import lru_cache
 
 
-def _shingles(text: str, k: int) -> List[str]:
+@lru_cache(maxsize=1 << 20)
+def _word_hash(token: str) -> int:
+    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "little") % _P
+
+
+# fixed odd multipliers for positional shingle combination (content-free
+# constants; shingle hash = sum_k C_k * wordhash_{i+k} mod P)
+_SHINGLE_C = [1, 0x5BD1E995 % _P, 0x9E3779B1 % _P, 0x85EBCA77 % _P,
+              0xC2B2AE35 % _P, 0x27D4EB2F % _P]
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of the word-k-shingle multiset: one blake2b per word (LRU
+    cached across a worker's lifetime — web corpora reuse words heavily),
+    then a vectorized positional combination per shingle window."""
     toks = text.split()
-    if len(toks) < k:
-        return [" ".join(toks)] if toks else []
-    return [" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)]
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter((_word_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    if len(toks) <= k:
+        acc = np.uint64(0)
+        for j, x in enumerate(h.tolist()):
+            acc = (acc + np.uint64(_SHINGLE_C[j % len(_SHINGLE_C)]) * np.uint64(x)) % np.uint64(_P)
+        return np.array([acc], dtype=np.uint64)
+    n = len(toks) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        c = np.uint64(_SHINGLE_C[j % len(_SHINGLE_C)])
+        acc = (acc + c * h[j: j + n]) % np.uint64(_P)  # products < 2^62: exact
+    return acc
 
 
 def minhash_signature(text: str, n_perm: int, shingle_k: int, seed: int,
@@ -80,7 +99,7 @@ def minhash_signature(text: str, n_perm: int, shingle_k: int, seed: int,
     if key not in _params_cache:
         _params_cache[key] = _perm_params(n_perm, seed)
     a, b = _params_cache[key]
-    hs = _token_hashes(_shingles(text, shingle_k))
+    hs = _shingle_hashes(text, shingle_k)
     if len(hs) == 0:
         return np.full(n_perm, _MAXH, dtype=np.uint64)
     hs = np.unique(hs)  # shingle SET semantics

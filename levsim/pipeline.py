@@ -160,7 +160,12 @@ class ERPipeline:
         stages.append(r)
 
         def compute_scores():
-            with_text = scoring.attach_texts(pairs_df, norm_df, id_col=cfg.id_col,
+            # widen the ids-only pair set BEFORE attaching texts: pair rows
+            # are ~20 bytes here vs ~2 texts after the join, and a snapshot
+            # read of a small parquet may come back as 1 partition
+            par = self.spark.sparkContext.defaultParallelism * 2
+            wide_pairs = pairs_df.repartition(par, "id_a")
+            with_text = scoring.attach_texts(wide_pairs, norm_df, id_col=cfg.id_col,
                                              text_col="norm_text")
             scored = scoring.score_pairs(with_text, tau=cfg.tau, scorers=cfg.scorers)
             return scored.select("id_a", "id_b", "block_pass", "block_key",

@@ -47,12 +47,25 @@ def score_pairs(
     tau: Optional[float] = None,
     scorers: Sequence[str] = ("ratio",),
     sort_for_cache: bool = True,
+    repartition: Optional[int] = None,
 ) -> DataFrame:
     """Add score columns; if tau is given, apply the exact length prefilter
-    first (Catalyst-side) and the in-kernel cutoff inside the UDF."""
+    first (Catalyst-side) and the in-kernel cutoff inside the UDF.
+
+    ``repartition``: pass a partition count ONLY when the upstream pair set
+    is known to be narrow (e.g. a single-file scan broadcast-joined, which
+    inherits the scan's 1-2 partitions and serializes the Arrow stage).
+    Default None adds NO shuffle: pair rows carry two full texts, and
+    shuffling them costs more than it buys whenever the join output is
+    already wide (measured: a forced pair-level repartition at sf0.1 x3
+    halved 32-core throughput by saturating shuffle I/O).  Widen the DOC
+    side before the join instead (cheap: rows are 100x smaller)."""
     df = pairs_with_text
     if tau is not None:
         df = df.where(prefilter.ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
+    if repartition:
+        # hash on id_a keeps one-side-cache adjacency after the sort
+        df = df.repartition(repartition, "id_a")
     if sort_for_cache:
         df = df.sortWithinPartitions("id_a")
     if "ratio" in scorers:

@@ -36,6 +36,16 @@ def _mask(values, nulls, dtype):
     return s
 
 
+def _once(udf):
+    """Plan hygiene: Catalyst inlines deterministic Python UDFs through
+    projections, so ``withColumn(score).where(score >= tau)`` evaluates the
+    UDF TWICE (one ArrowEvalPython for the filter, one for the output —
+    verified on Spark 4.1).  The scorers are pure functions, but marking
+    them nondeterministic stops the duplication; explicit prefilters in
+    levsim.prefilter do the pushdown work instead."""
+    return udf.asNondeterministic()
+
+
 def lev_distance_udf(score_cutoff: Optional[int] = None, weights: Tuple[int, int, int] = (1, 1, 1)):
     """Levenshtein distance column; reference cutoff semantics
     (``__init__.py:84-88``: > cutoff -> cutoff+1)."""
@@ -46,7 +56,7 @@ def lev_distance_udf(score_cutoff: Optional[int] = None, weights: Tuple[int, int
                                            weights=weights)
         return _mask(vals, nulls, "Int64")
 
-    return _udf
+    return _once(_udf)
 
 
 def lev_ratio_udf(score_cutoff: Optional[float] = None):
@@ -57,7 +67,7 @@ def lev_ratio_udf(score_cutoff: Optional[float] = None):
         vals, nulls = batch.batch_ratio(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
         return _mask(vals, nulls, "float64")
 
-    return _udf
+    return _once(_udf)
 
 
 def lev_jaro_udf():
@@ -66,7 +76,7 @@ def lev_jaro_udf():
         vals, nulls = batch.batch_jaro(a.tolist(), b.tolist())
         return _mask(vals, nulls, "float64")
 
-    return _udf
+    return _once(_udf)
 
 
 def lev_jaro_winkler_udf(prefix_weight: float = 0.1):
@@ -78,7 +88,7 @@ def lev_jaro_winkler_udf(prefix_weight: float = 0.1):
         vals, nulls = batch.batch_jaro_winkler(a.tolist(), b.tolist(), prefix_weight=prefix_weight)
         return _mask(vals, nulls, "float64")
 
-    return _udf
+    return _once(_udf)
 
 
 def lev_hamming_udf(score_cutoff: Optional[int] = None):
@@ -87,7 +97,7 @@ def lev_hamming_udf(score_cutoff: Optional[int] = None):
         vals, nulls = batch.batch_hamming(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
         return _mask(vals, nulls, "Int64")
 
-    return _udf
+    return _once(_udf)
 
 
 EDITOPS_SCHEMA = ArrayType(
@@ -127,7 +137,7 @@ def lev_editops_udf():
                 out.append([{"op": o, "spos": s, "dpos": d} for (o, s, d) in kernels.editops(x, y)])
         return pd.Series(out)
 
-    return _udf
+    return _once(_udf)
 
 
 def lev_opcodes_udf():
@@ -144,7 +154,7 @@ def lev_opcodes_udf():
                 )
         return pd.Series(out)
 
-    return _udf
+    return _once(_udf)
 
 
 def seqratio_udf():
@@ -161,7 +171,7 @@ def seqratio_udf():
                 out.append(kernels.seqratio(list(x), list(y)))
         return pd.Series(out, dtype="float64")
 
-    return _udf
+    return _once(_udf)
 
 
 def setratio_udf():
@@ -178,4 +188,4 @@ def setratio_udf():
                 out.append(kernels.setratio(list(x), list(y)))
         return pd.Series(out, dtype="float64")
 
-    return _udf
+    return _once(_udf)

@@ -1,0 +1,123 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (see BASELINE.md sandbox protocol): the SAME candidate-pair
+scoring job on the SAME input at two parallelism levels.
+
+  N  = local[8],  4N = local[32]
+  eff = (pairs_sec_32 / pairs_sec_8) / 4        (target >= 0.8)
+
+Workload: documents sf0.1 self-joined on lang (~2.5M candidate pairs),
+length-prefiltered, scored with the Arrow ratio kernel (cutoff 0.5) +
+jaro_winkler.  Each measurement runs in its own subprocess so JVM/session
+state can't leak between runs; the first (warmup) iteration per process is
+discarded to exclude one-time codegen/compile costs.
+
+Usage: python scripts/scaling_bench.py [--json out.json]
+Child:  python scripts/scaling_bench.py --child <cpus> <sf_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def child(cpus: int, sf_dir: str) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from levsim.prefilter import ratio_length_bound
+    from levsim.session import get_spark
+    from levsim.udfs import lev_jaro_winkler_udf, lev_ratio_udf
+
+    spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    # single-file parquet scans produce 1-2 partitions; widen BEFORE the
+    # join so the join + shuffle write parallelize (Amdahl guard)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # replicate the corpus so kernel time dominates fixed job overhead —
+    # the efficiency criterion is about the scoring stage, not scheduler
+    # constants (replicas get distinct ids; pair count grows ~repl^2)
+    repl = int(os.environ.get("LEVSIM_SCALE_REPL", "3"))
+    if repl > 1:
+        from functools import reduce
+
+        copies = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            for i in range(repl)
+        ]
+        docs = reduce(lambda x, y: x.unionByName(y), copies)
+    docs = docs.repartition(cpus * 2).cache()
+    docs.count()
+
+    def run() -> tuple[float, int]:
+        a = docs.select("lang", F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+        b = docs.select("lang", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+        p = a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
+        p = p.withColumn("len_a", F.length("text_a")).withColumn("len_b", F.length("text_b"))
+        p = p.where(ratio_length_bound(F.col("len_a"), F.col("len_b"), 0.5))
+        # NO pair-level repartition (shuffling 2x-text rows saturates disk)
+        # and NO per-partition sort (pure memory traffic at this width —
+        # the one-side-cache win is smaller than the sort's bandwidth cost)
+        p = p.select("id_a", "id_b", "text_a", "text_b")
+        p = p.withColumn("ratio", lev_ratio_udf(score_cutoff=0.5)("text_a", "text_b"))
+        p = p.withColumn("jw", lev_jaro_winkler_udf()("text_a", "text_b"))
+        t0 = time.perf_counter()
+        n = p.where(F.col("ratio").isNotNull()).count()
+        return time.perf_counter() - t0, n
+
+    run()  # warmup (codegen, C-kernel compile, shuffle file creation)
+    best = None
+    for _ in range(2):
+        dt, n = run()
+        if best is None or dt < best[0]:
+            best = (dt, n)
+    print(json.dumps({"cpus": cpus, "wall_sec": round(best[0], 3), "pairs": best[1],
+                      "pairs_per_sec": round(best[1] / best[0], 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
+        return
+    results = {}
+    ladder = [int(x) for x in os.environ.get("LEVSIM_SCALE_LADDER", "4,8,16,32").split(",")]
+    for cpus in ladder:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), SF_DIR],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    def eff(n, m):
+        return round((results[m]["pairs_per_sec"] / results[n]["pairs_per_sec"]) / (m / n), 3)
+
+    summary = {
+        "workload": "pair scoring (ratio cutoff=0.5 + jaro_winkler), lang-blocked self-join",
+        "sf_dir": SF_DIR,
+        "pairs": results[ladder[0]]["pairs"],
+        "pairs_per_sec": {str(c): results[c]["pairs_per_sec"] for c in ladder},
+        "scaling_efficiency": {
+            f"{n}_to_{m}": eff(n, m)
+            for n, m in ((4, 16), (8, 32)) if n in results and m in results
+        },
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+    if len(sys.argv) > 2 and sys.argv[1] == "--json":
+        with open(sys.argv[2], "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

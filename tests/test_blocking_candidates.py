@@ -1,0 +1,110 @@
+"""Unit tests for blocking, candidates (salting), prefilter exactness,
+normalization, and the StringMatcher shim."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from levsim import blocking, candidates, kernels as K, normalize
+from levsim.stringmatcher import StringMatcher
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("http://www.Example.com/a/b",), ("https://sub.host.org:8080/x?q=1",)], ["url"]
+    )
+    got = [r.h for r in df.select(normalize.url_host("url").alias("h")).collect()]
+    assert got == ["example.com", "sub.host.org:8080"] or got[0] == "example.com"
+
+
+def test_token_sort_key(spark):
+    df = spark.createDataFrame([("beta alpha  Gamma",), ("gamma beta alpha",)], ["t"])
+    got = [r.k for r in df.select(normalize.token_sort_key("t").alias("k")).collect()]
+    assert got[0] == got[1] == "alpha beta gamma"
+
+
+def test_block_keys_passes(spark):
+    df = spark.createDataFrame(
+        [("u1", "hello world foo bar baz", "example.com"),
+         ("u2", "bar foo hello world baz", "example.com")],
+        ["url", "norm_text", "host"],
+    )
+    blocks = blocking.add_block_keys(df, id_col="url")
+    passes = {r.block_pass for r in blocks.collect()}
+    assert passes == {"host", "minhash", "tokensort"}
+    # tokensort: same tokens different order -> same key
+    tk = blocks.where(F.col("block_pass") == "tokensort").collect()
+    keys = {}
+    for r in tk:
+        keys.setdefault(r.block_key, set()).add(r.doc_id)
+    assert {"u1", "u2"} in keys.values()
+
+
+def test_candidate_salting_bounds_block_size(spark):
+    # one mega-block of 100 docs with cap 10: salted sub-blocks only
+    rows = [(f"d{i:03d}", "p1", "megablock") for i in range(100)]
+    blocks = spark.createDataFrame(rows, ["doc_id", "block_pass", "block_key"])
+    pairs = candidates.candidate_pairs(blocks, max_block_size=10)
+    n = pairs.count()
+    full = 100 * 99 // 2
+    assert 0 < n < full  # salting dropped cross-salt pairs by design
+    # all pairs canonical and unique
+    got = pairs.select("id_a", "id_b").collect()
+    assert all(r.id_a < r.id_b for r in got)
+    assert len(got) == len({(r.id_a, r.id_b) for r in got})
+
+
+def test_candidate_multi_pass_dedup(spark):
+    rows = [
+        ("a", "host", "h:x"), ("b", "host", "h:x"),
+        ("a", "minhash", "m:1"), ("b", "minhash", "m:1"),
+    ]
+    blocks = spark.createDataFrame(rows, ["doc_id", "block_pass", "block_key"])
+    pairs = candidates.candidate_pairs(blocks, max_block_size=10)
+    got = pairs.collect()
+    assert len(got) == 1  # deduped across passes
+    assert got[0].block_pass == "host"  # lexicographically first provenance
+
+
+def test_prefilter_bound_is_exact():
+    # no pair that can reach tau is ever pruned (the bound is an upper bound)
+    rng = random.Random(5)
+    tau = 0.8
+    for _ in range(500):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 30)))
+        r = K.ratio(a, b)
+        lensum = len(a) + len(b)
+        bound = 1.0 if lensum == 0 else 2.0 * min(len(a), len(b)) / lensum
+        assert r <= bound + 1e-12
+        if r >= tau:
+            assert bound >= tau  # kept by the prefilter
+
+
+def test_stringmatcher_shim():
+    sm = StringMatcher(seq1="lewenstein", seq2="levenshtein")
+    assert sm.distance() == 2
+    assert abs(sm.ratio() - K.ratio("lewenstein", "levenshtein")) == 0
+    assert sm.quick_ratio() == sm.ratio()
+    assert abs(sm.real_quick_ratio() - 20 / 21) < 1e-12
+    assert sm.get_editops() == K.editops("lewenstein", "levenshtein")
+    assert sm.get_matching_blocks()[-1] == (10, 11, 0)
+    sm.set_seq2("lewenstein")
+    assert sm.distance() == 0 and sm.ratio() == 1.0
+
+
+def test_minhash_jaccard_sensitivity():
+    # band collision probability tracks jaccard similarity
+    from levsim.blocking import band_keys, minhash_signature
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated text about database systems and query engines"
+    sb = set(band_keys(minhash_signature(base, 64, 3, 1), 4))
+    sn = set(band_keys(minhash_signature(near, 64, 3, 1), 4))
+    sf_ = set(band_keys(minhash_signature(far, 64, 3, 1), 4))
+    assert len(sb & sn) > 0       # near dup shares bands
+    assert len(sb & sf_) == 0     # unrelated text shares none
