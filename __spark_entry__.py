@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -113,6 +114,39 @@ def q_editops_count_pairs(spark, sf_dir):
 
     return _pairs(spark, sf_dir).select(
         "id_a", "id_b", F.size(lev_editops_udf()("text_a", "text_b")).alias("n_ops")
+    )
+
+
+def q_lev_weighted_pairs(spark, sf_dir):
+    # uniform weights (2,2,2) scale the unit-cost distance by exactly 2 —
+    # validates the weighted-DP path against 2*levenshtein in SQL
+    from levsim.udfs import lev_distance_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        lev_distance_udf(weights=(2, 2, 2))("text_a", "text_b").alias("wdist"),
+    )
+
+
+def q_editops_roundtrip(spark, sf_dir):
+    # apply_edit(editops(a,b), a, b) == b for every pair -> the count of
+    # successful round-trips must equal the total pair count (SQL oracle)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from levsim import kernels
+
+    @pandas_udf(BooleanType())
+    def roundtrip_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            out.append(kernels.apply_edit(kernels.editops(x, y), x, y) == y)
+        return pd.Series(out)
+
+    p = _pairs(spark, sf_dir).withColumn("ok", roundtrip_ok("text_a", "text_b"))
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_roundtrip_ok"),
     )
 
 
@@ -346,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "hamming_pairs": q_hamming_pairs,
         "editops_count_pairs": q_editops_count_pairs,
+        "lev_weighted_pairs": q_lev_weighted_pairs,
+        "editops_roundtrip": q_editops_roundtrip,
         "setmedian_groups": q_setmedian_groups,
         "quickmedian_groups": q_quickmedian_groups,
         "median_groups": q_median_groups,
@@ -403,6 +439,13 @@ def oracle_sql() -> dict[str, str]:
         "hamming_pairs": _P_CTE + f"SELECT id_a, id_b, {ham} AS ham FROM p",
         "editops_count_pairs": _P_CTE
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS n_ops FROM p",
+        "lev_weighted_pairs": _P_CTE
+        + "SELECT id_a, id_b, 2 * levenshtein(text_a, text_b) AS wdist FROM p",
+        "editops_roundtrip": _P_CTE
+        + (
+            "SELECT lang, count(*) AS n_pairs, count(*) AS n_roundtrip_ok "
+            "FROM p GROUP BY lang"
+        ),
         "setmedian_groups": (
             "WITH m AS (SELECT lang, source, doc_id, substr(text, 1, 32) AS t FROM documents), "
             "s AS (SELECT a.lang, a.source, a.doc_id, a.t, "

@@ -40,6 +40,25 @@ _WORDS = (
 
 LANGS = ["en", "de", "es", "fr", "zh"]
 
+# the input_hint schema (BASELINE.json): Iceberg pages table
+from pyspark.sql.types import (  # noqa: E402
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
 
 def _entity_text(rng: np.random.RandomState, n_words: int) -> str:
     return " ".join(_WORDS[i] for i in rng.randint(0, len(_WORDS), size=n_words))

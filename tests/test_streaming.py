@@ -1,0 +1,56 @@
+"""Incremental (Structured Streaming) ingest: exactly-once per file,
+stream/batch key agreement, catch-up-then-stop resume semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from levsim import blocking, normalize, streaming, tables
+
+
+@pytest.fixture()
+def staged_pages(spark, tmp_path):
+    pdf = tables.generate_pages_pdf(n_entities=20, seed=7)
+    df = spark.createDataFrame(pdf.drop(columns=["entity_id"]))
+    in_dir = tmp_path / "incoming"
+    first = df.where(F.col("url").rlike("/p/[0-9]/"))  # entities 0-9
+    second = df.subtract(first)
+    in_dir.mkdir()
+    first.coalesce(1).write.mode("append").parquet(str(in_dir))
+    return spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"), df, second
+
+
+def test_incremental_ingest_and_resume(staged_pages):
+    spark, in_dir, out_dir, ckpt, full_df, second = staged_pages
+    streaming.run_incremental(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    n1 = got1.select("doc_id").distinct().count()
+    assert n1 > 0
+
+    # second batch of files arrives; catch-up processes ONLY the new ones
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_incremental(spark, in_dir, out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir)
+    n2 = got2.select("doc_id").distinct().count()
+    assert n2 == full_df.select("url").distinct().count()
+    # no duplicated work for the first batch (exactly-once per file)
+    per_doc_1 = got1.groupBy("doc_id", "block_pass", "block_key").count()
+    assert per_doc_1.where(F.col("count") > 1).count() == 0
+
+
+def test_stream_batch_key_agreement(staged_pages):
+    spark, in_dir, out_dir, ckpt, full_df, second = staged_pages
+    streaming.run_incremental(spark, in_dir, out_dir, ckpt)
+    streamed = spark.read.parquet(out_dir).select("doc_id", "block_pass", "block_key")
+    batch_keys = blocking.add_block_keys(
+        normalize.with_normalized(
+            full_df.join(streamed.select("doc_id").distinct(),
+                         full_df.url == F.col("doc_id")).drop("doc_id"),
+            text_col="text", url_col="url",
+        ),
+        id_col="url",
+    ).select("doc_id", "block_pass", "block_key")
+    # content-hash keys: stream and batch must agree exactly
+    assert streamed.subtract(batch_keys).count() == 0
+    assert batch_keys.subtract(streamed).count() == 0
