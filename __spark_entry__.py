@@ -43,7 +43,9 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     a = d.select("lang", "source", F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = d.select("lang", "source", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    return a.join(b, ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
+    # broadcast hint: fine at testdata scale; the production scoring path
+    # (levsim.scoring.attach_texts) leaves join strategy to Catalyst/AQE
+    return a.join(F.broadcast(b), ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
 
 
 _P_CTE = (

@@ -127,6 +127,21 @@ def elect_representatives(
         df = df.withColumn("_rn", F.row_number().over(wnd)).where(
             F.col("_rn") <= max_members
         ).drop("_rn")
-    return df.groupBy("cluster_id").applyInPandas(
-        _consensus_fn(method, improve_rounds, text_col, id_col), CONSENSUS_SCHEMA
+    # singleton fast path: in web dedup most clusters have one member, and
+    # every median variant of a single string is that string — keep those
+    # rows entirely JVM-side and run Python only on multi-member clusters
+    sizes = df.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    df = df.join(sizes, "cluster_id")
+    singles = df.where(F.col("_n") == 1).select(
+        "cluster_id",
+        F.lit(1).cast("long").alias("n_members"),
+        F.col(text_col).alias("representative"),
     )
+    multi = (
+        df.where(F.col("_n") > 1)
+        .drop("_n")
+        .groupBy("cluster_id")
+        .applyInPandas(_consensus_fn(method, improve_rounds, text_col, id_col),
+                       CONSENSUS_SCHEMA)
+    )
+    return singles.unionByName(multi)
