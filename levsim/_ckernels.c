@@ -25,6 +25,43 @@ static void strip_common(const uint32_t **pa, int64_t *pm, const uint32_t **pb, 
     *pa = a; *pb = b; *pm = m; *pn = n;
 }
 
+/* open-addressing map: code point -> word-mask rows (W words per symbol);
+ * shared by the Myers distance and bit-parallel LCS kernels */
+typedef struct {
+    uint32_t *keys;
+    uint64_t *masks; /* cap * W words */
+    int64_t cap;     /* power of two */
+    int64_t W;
+} PeqMap;
+
+static void peq_build(PeqMap *pm, const uint32_t *a, int64_t m, int64_t W)
+{
+    int64_t cap = 16;
+    while (cap < 2 * m) cap <<= 1;
+    pm->cap = cap;
+    pm->W = W;
+    pm->keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
+    pm->masks = (uint64_t *)calloc((size_t)(cap * W), sizeof(uint64_t));
+    memset(pm->keys, 0xff, (size_t)cap * sizeof(uint32_t)); /* 0xffffffff = empty */
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t c = a[i];
+        int64_t h = (int64_t)((c * 2654435761u) & (uint32_t)(cap - 1));
+        while (pm->keys[h] != 0xffffffffu && pm->keys[h] != c) h = (h + 1) & (cap - 1);
+        pm->keys[h] = c;
+        pm->masks[h * W + (i >> 6)] |= 1ull << (i & 63);
+    }
+}
+
+static const uint64_t *peq_get(const PeqMap *pm, uint32_t c, const uint64_t *zero)
+{
+    int64_t h = (int64_t)((c * 2654435761u) & (uint32_t)(pm->cap - 1));
+    while (pm->keys[h] != 0xffffffffu) {
+        if (pm->keys[h] == c) return pm->masks + h * pm->W;
+        h = (h + 1) & (pm->cap - 1);
+    }
+    return zero;
+}
+
 /* ---------------- banded Levenshtein (uniform weights) ---------------- */
 
 static int64_t lev_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
@@ -66,6 +103,72 @@ static int64_t lev_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t 
     return d;
 }
 
+/* Myers bit-parallel Levenshtein (Myers 1999), multiword: the single-word
+ * recurrence applied to W-word big integers with explicit add/shift carries.
+ * Exact distance of pattern a (m chars) vs text b (n chars). */
+static int64_t myers_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                         int64_t cutoff,
+                         uint64_t *VP, uint64_t *VN, uint64_t *D0, uint64_t *HP, uint64_t *HN)
+{
+    strip_common(&a, &m, &b, &n);
+    if (m == 0) return n;
+    if (n == 0) return m;
+    if (m > n) { const uint32_t *t = a; a = b; b = t; int64_t tl = m; m = n; n = tl; }
+    int64_t W = (m + 63) >> 6;
+    PeqMap pm;
+    peq_build(&pm, a, m, W);
+    static const uint64_t zero_small[64] = {0};
+    const uint64_t *zeros = zero_small; /* W <= 64 covered below via calloc if bigger */
+    uint64_t *zbig = NULL;
+    if (W > 64) { zbig = (uint64_t *)calloc((size_t)W, sizeof(uint64_t)); zeros = zbig; }
+    uint64_t lastbit = 1ull << ((m - 1) & 63);
+    for (int64_t w = 0; w < W; w++) { VP[w] = ~0ull; VN[w] = 0; }
+    int64_t score = m;
+    for (int64_t j = 0; j < n; j++) {
+        const uint64_t *PM = peq_get(&pm, b[j], zeros);
+        /* X = PM | VN ; T = (X & VP) + VP (multiword add) ; D0 = (T^VP)|X */
+        uint64_t carry = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t X = PM[w] | VN[w];
+            uint64_t xv = X & VP[w];
+            uint64_t t1 = xv + VP[w];
+            uint64_t c1 = (t1 < xv) ? 1ull : 0ull;
+            uint64_t t2 = t1 + carry;
+            if (t2 < t1) c1 = 1ull;
+            carry = c1;
+            D0[w] = (t2 ^ VP[w]) | X;
+            HN[w] = VP[w] & D0[w];
+            HP[w] = VN[w] | ~(VP[w] | D0[w]);
+        }
+        if (HP[W - 1] & lastbit) score++;
+        else if (HN[W - 1] & lastbit) score--;
+        /* HPs = (HP << 1) | 1 ; HNs = HN << 1 (multiword shifts) */
+        uint64_t hp_in = 1, hn_in = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint64_t hp_out = HP[w] >> 63, hn_out = HN[w] >> 63;
+            uint64_t HPs = (HP[w] << 1) | hp_in;
+            uint64_t HNs = (HN[w] << 1) | hn_in;
+            hp_in = hp_out; hn_in = hn_out;
+            VN[w] = HPs & D0[w];
+            VP[w] = HNs | ~(HPs | D0[w]);
+        }
+        /* mask tail bits of the last word so stray high bits never leak */
+        if ((m & 63) != 0) {
+            uint64_t mask = (1ull << (m & 63)) - 1;
+            VP[W - 1] &= mask;
+            VN[W - 1] &= mask;
+        }
+        if (cutoff >= 0 && score - (n - j - 1) > cutoff) {
+            free(pm.keys); free(pm.masks); free(zbig);
+            return cutoff + 1;
+        }
+    }
+    free(pm.keys);
+    free(pm.masks);
+    free(zbig);
+    return score;
+}
+
 void batch_lev(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
                int64_t npairs, int64_t cutoff, int64_t *out)
 {
@@ -77,9 +180,23 @@ void batch_lev(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const 
         if (ln > maxn) maxn = ln;
     }
     int64_t *row = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
-    for (int64_t i = 0; i < npairs; i++)
-        out[i] = lev_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i], cutoff, row);
+    int64_t W = maxn / 64 + 2;
+    uint64_t *bufs = (uint64_t *)malloc((size_t)(5 * W) * sizeof(uint64_t));
+    for (int64_t i = 0; i < npairs; i++) {
+        const uint32_t *a = ca + oa[i];
+        const uint32_t *b = cb + ob[i];
+        int64_t m = oa[i + 1] - oa[i], n = ob[i + 1] - ob[i];
+        int64_t diff = m > n ? m - n : n - m;
+        if (cutoff >= 0 && diff > cutoff) { out[i] = cutoff + 1; continue; }
+        /* banded DP wins for tight cutoffs; Myers for wide/no cutoff */
+        if (cutoff >= 0 && cutoff < 64)
+            out[i] = lev_one(a, m, b, n, cutoff, row);
+        else
+            out[i] = myers_one(a, m, b, n, cutoff,
+                               bufs, bufs + W, bufs + 2 * W, bufs + 3 * W, bufs + 4 * W);
+    }
     free(row);
+    free(bufs);
 }
 
 /* ------------- generalized weighted Levenshtein (full DP) ------------- */
@@ -124,42 +241,6 @@ void batch_lev_weighted(const uint32_t *ca, const int64_t *oa, const uint32_t *c
 }
 
 /* ------------------- bit-parallel indel distance ---------------------- */
-
-/* open-addressing map: code point -> word-mask rows (W words per symbol) */
-typedef struct {
-    uint32_t *keys;
-    uint64_t *masks; /* cap * W words */
-    int64_t cap;     /* power of two */
-    int64_t W;
-} PeqMap;
-
-static void peq_build(PeqMap *pm, const uint32_t *a, int64_t m, int64_t W)
-{
-    int64_t cap = 16;
-    while (cap < 2 * m) cap <<= 1;
-    pm->cap = cap;
-    pm->W = W;
-    pm->keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
-    pm->masks = (uint64_t *)calloc((size_t)(cap * W), sizeof(uint64_t));
-    memset(pm->keys, 0xff, (size_t)cap * sizeof(uint32_t)); /* 0xffffffff = empty */
-    for (int64_t i = 0; i < m; i++) {
-        uint32_t c = a[i];
-        int64_t h = (int64_t)((c * 2654435761u) & (uint32_t)(cap - 1));
-        while (pm->keys[h] != 0xffffffffu && pm->keys[h] != c) h = (h + 1) & (cap - 1);
-        pm->keys[h] = c;
-        pm->masks[h * W + (i >> 6)] |= 1ull << (i & 63);
-    }
-}
-
-static const uint64_t *peq_get(const PeqMap *pm, uint32_t c, const uint64_t *zero)
-{
-    int64_t h = (int64_t)((c * 2654435761u) & (uint32_t)(pm->cap - 1));
-    while (pm->keys[h] != 0xffffffffu) {
-        if (pm->keys[h] == c) return pm->masks + h * pm->W;
-        h = (h + 1) & (pm->cap - 1);
-    }
-    return zero;
-}
 
 static int64_t indel_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
                          uint64_t *V /* scratch */, uint64_t *zero /* scratch, zeroed */)

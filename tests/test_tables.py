@@ -1,0 +1,64 @@
+"""Pages generator invariants (FIXTURES.md F1) and clustering edge cases."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from levsim import clustering, kernels as K, tables
+
+
+def test_generator_deterministic():
+    a = tables.generate_pages_pdf(n_entities=30, seed=42)
+    b = tables.generate_pages_pdf(n_entities=30, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+    c = tables.generate_pages_pdf(n_entities=30, seed=43)
+    assert not a["text"].equals(c["text"])
+
+
+def test_generator_html_text_invariant():
+    # input_hint: byte-identical extracted text per url
+    pdf = tables.generate_pages_pdf(n_entities=10, seed=1)
+    for _, row in pdf.iterrows():
+        assert bytes(row["html"]) == f"<html><body>{row['text']}</body></html>".encode("utf-8")
+
+
+def test_generator_calibration():
+    # FIXTURES.md F1: intra-cluster ratio vs base >= ~0.9
+    pdf = tables.generate_pages_pdf(n_entities=40, seed=42)
+    for ent, grp in pdf.groupby("entity_id"):
+        texts = grp.sort_values("url")["text"].tolist()
+        base = texts[0]
+        for t in texts[1:]:
+            assert K.ratio(base, t) >= 0.88, (ent, K.ratio(base, t))
+
+
+def test_generator_unique_urls():
+    pdf = tables.generate_pages_pdf(n_entities=50, seed=42)
+    assert pdf["url"].is_unique
+
+
+def test_extract_text_from_html(spark):
+    pdf = tables.generate_pages_pdf(n_entities=5, seed=2)
+    df = spark.createDataFrame(pdf.drop(columns=["entity_id"]))
+    got = df.select("text", tables.extract_text_from_html(df.html).alias("re_text")).collect()
+    for r in got:
+        assert r.re_text == r.text
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    comps = clustering.connected_components(edges)
+    assert comps.count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "norm_text"])
+    out = clustering.attach_clusters(docs, comps)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 2}  # every doc becomes its own cluster
+
+
+def test_cc_self_loops_and_dups(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3)], ["id_a", "id_b"]
+    )
+    comps = {r.doc_id: r.cluster_id for r in clustering.connected_components(edges).collect()}
+    assert comps[1] == comps[2] == 1
+    assert comps[3] == 3
