@@ -312,6 +312,31 @@ def q_chain_components(spark, sf_dir):
     )
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization over the events stream table (30-minute
+    inactivity gap) — the stateful-window operator class, expressed as
+    lag + conditional cumulative sum (identical semantics in ANSI SQL)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so epoch seconds agree
+    # with DuckDB's epoch(ts)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(sec).over(w)
+    gap = (
+        F.when(prev.isNull(), 1)       # first event of a user opens a session
+        .when(sec - prev > 1800, 1)
+        .otherwise(0)
+    )
+    sess = e.withColumn("new_sess", gap).withColumn(
+        "session_no", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 def q_minhash_dedup_pairs(spark, sf_dir):  # rows-only (hash-based keys)
     from levsim.extras.dedup import minhash_candidate_pairs
 
@@ -399,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": q_embedding_norm,
         "cosine_topk": q_cosine_topk,
         "chain_components": q_chain_components,
+        "event_sessions": q_event_sessions,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
@@ -526,5 +552,18 @@ def oracle_sql() -> dict[str, str]:
         "chain_components": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id "
             "FROM documents"
+        ),
+        "event_sessions": (
+            "WITH g AS (SELECT user_id, event_id, "
+            "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1 "
+            "WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 "
+            "ELSE 0 END AS new_sess, ts FROM events), "
+            "s AS (SELECT user_id, event_id, "
+            "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
+            "SELECT user_id, session_no, count(*) AS n_events, "
+            "min(event_id) AS first_event, max(event_id) AS last_event "
+            "FROM s GROUP BY user_id, session_no"
         ),
     }
