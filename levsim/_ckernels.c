@@ -380,6 +380,79 @@ void batch_jaro_winkler(const uint32_t *ca, const int64_t *oa, const uint32_t *c
     free(tf);
 }
 
+/* ----------------------------- MinHash -------------------------------- */
+
+/* FNV-1a 64-bit over the UTF-32LE bytes of a token span */
+static uint64_t fnv1a64(const uint32_t *codes, int64_t n)
+{
+    uint64_t h = 0xCBF29CE484222325ull;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t c = codes[i];
+        for (int k = 0; k < 4; k++) {
+            h ^= (c >> (8 * k)) & 0xff;
+            h *= 1099511628211ull;
+        }
+    }
+    return h;
+}
+
+static int is_ws(uint32_t c) { return c == 32 || (c >= 9 && c <= 13); }
+
+#define MH_P 2147483647ull /* 2^31 - 1, matches levsim.blocking._P */
+
+/* shingle combination constants — mirror blocking._SHINGLE_C */
+static const uint64_t MH_C[6] = {1ull, 0x5BD1E995ull % MH_P, 0x9E3779B1ull % MH_P,
+                                 0x85EBCA77ull % MH_P, 0xC2B2AE35ull % MH_P,
+                                 0x27D4EB2Full % MH_P};
+
+/* texts flattened as uint32 code points; out is ndocs * n_perm uint64.
+ * Word hash = fnv1a64 mod P; shingle hash = sum_j C[j] * wh[i+j] mod P;
+ * signature[p] = min over shingles of (pa[p]*sh + pb[p]) mod P;
+ * empty doc -> all lanes P-1. */
+void batch_minhash(const uint32_t *codes, const int64_t *offs, int64_t ndocs,
+                   int64_t n_perm, int64_t shingle_k,
+                   const uint64_t *pa, const uint64_t *pb, uint64_t *out)
+{
+    int64_t maxlen = 0;
+    for (int64_t d = 0; d < ndocs; d++) {
+        int64_t ln = offs[d + 1] - offs[d];
+        if (ln > maxlen) maxlen = ln;
+    }
+    uint64_t *wh = (uint64_t *)malloc((size_t)(maxlen / 2 + 2) * sizeof(uint64_t));
+    for (int64_t d = 0; d < ndocs; d++) {
+        const uint32_t *s = codes + offs[d];
+        int64_t n = offs[d + 1] - offs[d];
+        /* tokenize on whitespace runs, hash each token */
+        int64_t nt = 0;
+        int64_t i = 0;
+        while (i < n) {
+            while (i < n && is_ws(s[i])) i++;
+            int64_t st = i;
+            while (i < n && !is_ws(s[i])) i++;
+            if (i > st) wh[nt++] = fnv1a64(s + st, i - st) % MH_P;
+        }
+        uint64_t *o = out + d * n_perm;
+        if (nt == 0) {
+            for (int64_t p = 0; p < n_perm; p++) o[p] = MH_P - 1;
+            continue;
+        }
+        for (int64_t p = 0; p < n_perm; p++) o[p] = ~0ull;
+        int64_t nsh = nt <= shingle_k ? 1 : nt - shingle_k + 1;
+        int64_t klim = nt < shingle_k ? nt : shingle_k;
+        for (int64_t si = 0; si < nsh; si++) {
+            uint64_t sh = 0;
+            int64_t kk = (nsh == 1) ? nt : klim;
+            for (int64_t j = 0; j < kk; j++)
+                sh = (sh + MH_C[j % 6] * wh[si + j]) % MH_P;
+            for (int64_t p = 0; p < n_perm; p++) {
+                uint64_t v = (pa[p] * sh + pb[p]) % MH_P; /* < 2^62: exact */
+                if (v < o[p]) o[p] = v;
+            }
+        }
+    }
+    free(wh);
+}
+
 /* ----------------------------- Hamming -------------------------------- */
 
 void batch_hamming(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,

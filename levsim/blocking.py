@@ -59,10 +59,23 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 from functools import lru_cache
 
+_WS = "\t\n\x0b\x0c\r "
+
+
+def _tokenize(text: str) -> List[str]:
+    """Split on runs of ASCII whitespace {9-13, 32} — the exact rule the C
+    kernel uses, so both paths produce identical signatures."""
+    return [t for t in text.translate({9: " ", 10: " ", 11: " ", 12: " ", 13: " "}).split(" ") if t]
+
 
 @lru_cache(maxsize=1 << 20)
 def _word_hash(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "little") % _P
+    """FNV-1a 64 over the token's UTF-32LE bytes, mod P (mirrors C)."""
+    h = 0xCBF29CE484222325
+    for b in token.encode("utf-32-le"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _P
 
 
 # fixed odd multipliers for positional shingle combination (content-free
@@ -72,10 +85,10 @@ _SHINGLE_C = [1, 0x5BD1E995 % _P, 0x9E3779B1 % _P, 0x85EBCA77 % _P,
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the word-k-shingle multiset: one blake2b per word (LRU
+    """Hashes of the word-k-shingle multiset: one FNV hash per word (LRU
     cached across a worker's lifetime — web corpora reuse words heavily),
     then a vectorized positional combination per shingle window."""
-    toks = text.split()
+    toks = _tokenize(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
     h = np.fromiter((_word_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
@@ -92,20 +105,50 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return acc
 
 
-def minhash_signature(text: str, n_perm: int, shingle_k: int, seed: int,
-                      _params_cache={}) -> np.ndarray:
-    """n_perm-wide MinHash signature of the text's word-k-shingle set."""
+def _params(n_perm: int, seed: int, _cache={}):
     key = (n_perm, seed)
-    if key not in _params_cache:
-        _params_cache[key] = _perm_params(n_perm, seed)
-    a, b = _params_cache[key]
+    if key not in _cache:
+        _cache[key] = _perm_params(n_perm, seed)
+    return _cache[key]
+
+
+def minhash_signature(text: str, n_perm: int, shingle_k: int, seed: int) -> np.ndarray:
+    """n_perm-wide MinHash signature of the text's word-k-shingle set."""
+    a, b = _params(n_perm, seed)
     hs = _shingle_hashes(text, shingle_k)
     if len(hs) == 0:
         return np.full(n_perm, _MAXH, dtype=np.uint64)
-    hs = np.unique(hs)  # shingle SET semantics
+    hs = np.unique(hs)  # min over the multiset == min over the set
     # (n_perm, n_tokens) affine permutations, exact in uint64 (values < 2^62)
     v = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_P)
     return v.min(axis=1)
+
+
+def minhash_signatures_batch(texts, n_perm: int, shingle_k: int, seed: int) -> np.ndarray:
+    """(ndocs, n_perm) signatures for a whole batch — C kernel when
+    available (tokenize+hash+shingle+permute in one call), bit-identical
+    Python fallback otherwise.  None rows come back as all-MAXH lanes
+    (callers mask them)."""
+    from . import cbuild
+
+    a, b = _params(n_perm, seed)
+    lib = cbuild.load()
+    safe = ["" if t is None else t for t in texts]
+    if lib is not None and hasattr(lib, "batch_minhash"):
+        import ctypes
+
+        from .batch import _flatten, _ptr
+
+        codes, offs, _ = _flatten(safe)
+        out = np.empty((len(safe), n_perm), dtype=np.uint64)
+        lib.batch_minhash(
+            _ptr(codes, ctypes.c_uint32), _ptr(offs, ctypes.c_int64),
+            ctypes.c_int64(len(safe)), ctypes.c_int64(n_perm), ctypes.c_int64(shingle_k),
+            _ptr(a, ctypes.c_uint64), _ptr(b, ctypes.c_uint64),
+            _ptr(out, ctypes.c_uint64),
+        )
+        return out
+    return np.stack([minhash_signature(t, n_perm, shingle_k, seed) for t in safe])
 
 
 def band_keys(sig: np.ndarray, rows_per_band: int) -> List[int]:
@@ -126,13 +169,11 @@ def minhash_band_udf(n_perm: int = 64, rows_per_band: int = 4, shingle_k: int = 
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
+        tl = texts.tolist()
+        sigs = minhash_signatures_batch(tl, n_perm, shingle_k, seed)
         out = []
-        for t in texts.tolist():
-            if t is None:
-                out.append(None)
-                continue
-            sig = minhash_signature(t, n_perm, shingle_k, seed)
-            out.append(band_keys(sig, rows_per_band))
+        for t, sig in zip(tl, sigs):
+            out.append(None if t is None else band_keys(sig, rows_per_band))
         return pd.Series(out)
 
     return _udf

@@ -101,8 +101,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.batch_jaro.argtypes = [U32, I64, U32, I64, ctypes.c_int64, F64]
     lib.batch_jaro_winkler.argtypes = [U32, I64, U32, I64, ctypes.c_int64, ctypes.c_double, F64]
     lib.batch_hamming.argtypes = [U32, I64, U32, I64, ctypes.c_int64, I64]
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.batch_minhash.argtypes = [U32, I64, ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, U64, U64, U64]
     for fn in ("batch_lev", "batch_lev_weighted", "batch_indel", "batch_jaro",
-               "batch_jaro_winkler", "batch_hamming"):
+               "batch_jaro_winkler", "batch_hamming", "batch_minhash"):
         getattr(lib, fn).restype = None
     _lib = lib
     return _lib
