@@ -817,14 +817,17 @@ def setmedian(strlist: Sequence[StrOrBytes], wlist=None) -> str:
     if n == 0:
         raise ValueError("strlist is empty")
     # full symmetric distance matrix (early-abandon in the reference only
-    # affects speed, not the argmin)
+    # affects speed, not the argmin); pairwise distances go through the
+    # C batch kernel when available (bit-identical, levsim.batch)
     dist = np.zeros((n, n), dtype=np.float64)
-    for i in range(n):
-        for j in range(i + 1, n):
-            a, b = _strip_common(strings[i], strings[j])
-            d = _dp_distance(a, b, 1, 1, 1)
-            dist[i, j] = d
-            dist[j, i] = d
+    ii, jj = np.triu_indices(n, k=1)
+    if len(ii):
+        from . import batch as _batch
+
+        sa = [_from_codes(strings[i]) for i in range(n)]
+        vals, _ = _batch.batch_distance([sa[i] for i in ii], [sa[j] for j in jj])
+        dist[ii, jj] = vals
+        dist[jj, ii] = vals
     sums = dist @ weights  # sum_j w_j * d(i, j); self term is 0
     minidx = int(np.argmin(sums))  # np.argmin returns first minimum
     return _from_codes(strings[minidx])
@@ -878,6 +881,15 @@ def _seq_distance(seq1: List[np.ndarray], seq2: List[np.ndarray]) -> float:
         return float(len(s2))
     if not s2:
         return float(len(s1))
+    # all-pairs raw indel distances in one batch-kernel call (integers,
+    # exact); the float expression below keeps the reference's exact
+    # evaluation order (prev_diag + 2.0/l * d)
+    from . import batch as _batch
+
+    sa = [_from_codes(x) for x in s1]
+    sb = [_from_codes(x) for x in s2]
+    dmat, _ = _batch.batch_indel([r for r in sa for _ in sb], sb * len(sa))
+    dmat = dmat.reshape(len(sa), len(sb))
     n2 = len(s2)
     row = np.arange(n2 + 1, dtype=np.float64)
     for i, a in enumerate(s1):
@@ -886,11 +898,10 @@ def _seq_distance(seq1: List[np.ndarray], seq2: List[np.ndarray]) -> float:
         x = i + 1.0
         for j, b in enumerate(s2):
             l = len(a) + len(b)
-            q = prev_diag if l == 0 else prev_diag + 2.0 / l * _dp_distance(*_strip_common(a, b), 1, 1, 2)
+            q = prev_diag if l == 0 else prev_diag + 2.0 / l * float(dmat[i, j])
             x = min(x + 1.0, q, row[j + 1] + 1.0)
             prev_diag = row[j + 1]
             row[j + 1] = x
-        # reset x for next row start handled at loop top
     return float(row[n2])
 
 
@@ -1019,17 +1030,33 @@ def setratio(strlist1: Sequence[StrOrBytes], strlist2: Sequence[StrOrBytes]) -> 
     return (lensum - d) / lensum
 
 
+def _norm_indel_matrix(rows: List[np.ndarray], cols: List[np.ndarray]) -> np.ndarray:
+    """All-pairs normalized indel distances via the batch kernel (C path
+    when available, bit-identical fallback otherwise)."""
+    from . import batch as _batch
+
+    rs = [_from_codes(r) for r in rows]
+    cs = [_from_codes(c) for c in cols]
+    a = [r for r in rs for _ in cs]
+    b = cs * len(rs)
+    dist, _ = _batch.batch_indel(a, b)
+    la = np.array([len(r) for r in rs], dtype=np.float64)[:, None]
+    lb = np.array([len(c) for c in cs], dtype=np.float64)[None, :]
+    lensum = la + lb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(lensum > 0, dist.reshape(len(rs), len(cs)) / np.maximum(lensum, 1.0), 0.0)
+    return out
+
+
 def _set_distance(set1: List[np.ndarray], set2: List[np.ndarray]) -> float:
     if len(set1) > len(set2):
         set1, set2 = set2, set1
     n1, n2 = len(set1), len(set2)
-    dists = np.empty((n2, n1), dtype=np.float64)
-    for i, b in enumerate(set2):
-        for j, a in enumerate(set1):
-            dists[i, j] = _norm_indel(a, b)
+    nd = _norm_indel_matrix(set2, set1)  # (n2, n1)
+    dists = nd.copy()
     mapping = _munkres_blackman(n1, n2, dists)
     total = float(n2 - n1)
     for j in range(n1):
         i = mapping[j]
-        total += 2.0 * _norm_indel(set1[j], set2[i])
+        total += 2.0 * nd[i, j]
     return total
