@@ -42,9 +42,17 @@ class ERConfig:
     blocking_passes: tuple = ("host", "minhash", "tokensort")
     id_col: str = "url"
     text_col: str = "text"
+    # cap normalized text length fed to the scorers: real crawl pages can be
+    # 100 KB+, and Jaro-family kernels are superlinear in length.  Standard
+    # ER practice; None disables.  Affects scoring input only (the stored
+    # text column stays intact); prefix-truncation keeps ratio a lower bound
+    # for near-identical long docs, and exact dedup upstream catches
+    # byte-identical ones regardless.
+    truncate_len: int | None = 4096
 
     def params(self) -> dict:
         return {
+            "truncate_len": self.truncate_len,
             "tau": self.tau,
             "scorers": list(self.scorers),
             "score_col": self.score_col,
@@ -136,7 +144,12 @@ class ERPipeline:
         stages: List[StageResult] = []
 
         def compute_norm():
-            return normalize.with_normalized(pages, text_col=cfg.text_col, url_col=cfg.id_col)
+            out = normalize.with_normalized(pages, text_col=cfg.text_col, url_col=cfg.id_col)
+            if cfg.truncate_len:
+                out = out.withColumn(
+                    "norm_text", F.substring("norm_text", 1, cfg.truncate_len)
+                )
+            return out
 
         norm_df, r = self._stage("normalize", [pages_snapshot_id], compute_norm,
                                  self.tables["pages_norm"])
