@@ -773,36 +773,55 @@ def quickmedian(strlist: Sequence[StrOrBytes], wlist=None) -> str:
     """Positional-voting approximate median (reference lev_quick_median,
     ``_levenshtein.cpp:98-189``): target length = weighted mean length
     rounded with +0.499999; each string votes for proportionally mapped
-    characters with fractional boundary weights; per-position argmax."""
+    characters with fractional boundary weights; per-position argmax with
+    the SymMap bucket/chain tie order.
+
+    Vectorized: the reference's add-full-then-subtract-fraction voting is
+    algebraically the fractional overlap of each char cell [k, k+1) with
+    the position span [start_j, end_j) — computed here as one (positions x
+    chars) matrix per string, scatter-added into a (positions x symbols)
+    vote table in the reference's string-then-char accumulation order."""
     weights = _extract_weights(strlist, wlist)
     strings = [_codes(s) for s in strlist]
-    ml = float(sum(w * len(s) for s, w in zip(strings, weights)))
+    ml_f = float(sum(w * len(s) for s, w in zip(strings, weights)))
     wl = float(weights.sum())
     if wl == 0.0:
         return ""
     import math
 
-    ml = math.floor(ml / wl + 0.499999)
+    ml = int(math.floor(ml_f / wl + 0.499999))
     if ml <= 0:
         return ""
     symmap = _SymMap(strings)
-    out: List[int] = []
-    for j in range(int(ml)):
-        symmap.clear()
-        for s, w in zip(strings, weights):
-            L = len(s)
-            if L == 0:
-                continue
-            start = L / ml * j
-            end = start + L / ml
-            istart = int(math.floor(start))
-            iend = min(int(math.ceil(end)), L)
-            sl = s.tolist()
-            for k in range(istart + 1, iend):
-                symmap.votes[sl[k]] += w
-            symmap.votes[sl[istart]] += w * ((1 + istart) - start)
-            symmap.votes[sl[iend - 1]] -= w * (iend - end)
-        out.append(symmap.argmax())
+    # dense symbol ids in SymMap argmax order (bucket 0..255, chain order):
+    # np.argmax's first-max-wins then reproduces the reference tie-break
+    order: List[int] = [c for bucket in symmap.buckets for c in bucket]
+    sym_id = {c: i for i, c in enumerate(order)}
+    nsym = len(order)
+    votes = np.zeros((ml, nsym), dtype=np.float64)
+    jidx = np.arange(ml, dtype=np.int64)
+    jr = jidx.astype(np.float64)
+    for s, w in zip(strings, weights):
+        L = len(s)
+        if L == 0:
+            continue
+        start = L / ml * jr                 # (ml,)
+        end = start + L / ml
+        istart = np.floor(start).astype(np.int64)
+        iend = np.minimum(np.ceil(end), L).astype(np.int64)
+        ids = np.fromiter((sym_id[int(c)] for c in s), dtype=np.int64, count=L)
+        wmax = int((iend - istart).max())
+        # spans cover only ~L/ml+1 char cells: iterate the narrow band
+        for t in range(wmax):
+            k = istart + t
+            valid = k < iend
+            if not valid.any():
+                break
+            kf = k.astype(np.float64)
+            ov = np.minimum(kf + 1.0, end) - np.maximum(kf, start)
+            kv = k[valid]
+            np.add.at(votes, (jidx[valid], ids[kv]), ov[valid] * w)
+    out = [order[int(np.argmax(votes[j]))] for j in range(ml)]
     return _from_codes(out)
 
 
