@@ -556,7 +556,73 @@ def median(strlist: Sequence[StrOrBytes], wlist=None) -> str:
     ``_levenshtein.hpp:144-249``): grow the consensus symbol by symbol,
     choosing at each step the symbol minimizing the weighted sum of
     *minimum* DP-row values; stop at 2*maxlen+1 or when past maxlen the
-    total distance stops improving; return the best-SOD prefix."""
+    total distance stops improving; return the best-SOD prefix.
+
+    Vectorized across (symbols x strings) per growth step; integer DP is
+    exact, and the weighted sums accumulate in string order exactly like
+    the reference.  ``_median_reference_impl`` keeps the direct port for
+    the equivalence regression test."""
+    weights = _extract_weights(strlist, wlist)
+    strings = [_codes(s) for s in strlist]
+    symlist = _symlist(strings)
+    if len(symlist) == 0:
+        return ""
+    nsym = len(symlist)
+    nstr = len(strings)
+    lens = np.array([len(s) for s in strings], dtype=np.int64)
+    maxlen = int(lens.max())
+    stoplen = 2 * maxlen + 1
+    BIG = np.int32(1) << 28  # DP values are bounded by 2*maxlen+1 << 2^28
+    # padded string matrix and per-(symbol,string,pos) inequality tensor;
+    # padding uses BIG so padded cells never win a min within a row read
+    smat = np.zeros((nstr, maxlen), dtype=np.int64)
+    pad = np.ones((nstr, maxlen), dtype=bool)
+    for i, s in enumerate(strings):
+        smat[i, : len(s)] = s
+        pad[i, : len(s)] = False
+    neq = (symlist.astype(np.int64)[:, None, None] != smat[None, :, :]).astype(np.int32)
+    neq = np.where(pad[None, :, :], BIG, neq)  # (nsym, nstr, maxlen)
+    rows = np.tile(np.arange(maxlen + 1, dtype=np.int32), (nstr, 1))  # (nstr, maxlen+1)
+    jr = np.arange(1, maxlen + 1, dtype=np.int32)
+    last_idx = np.arange(nstr), np.maximum(lens - 1, 0)
+    mediandist = np.empty(stoplen + 1, dtype=np.float64)
+    mediandist[0] = float(sum(int(lens[i]) + weights[i] for i in range(nstr)))
+    med: List[int] = []
+    for ln in range(1, stoplen + 1):
+        cand = np.minimum(rows[None, :, :-1] + neq, rows[None, :, 1:] + 1)
+        t = np.minimum.accumulate(np.minimum(cand - jr[None, None, :], np.int32(ln)), axis=2)
+        x = t + jr[None, None, :]  # (nsym, nstr, maxlen): DP cols 1..L per symbol
+        # per-string row minimum over the real (unpadded) columns, capped at ln
+        xm = np.where(pad[None, :, :], BIG, x).min(axis=2)  # (nsym, nstr)
+        rowmin = np.minimum(xm, ln).astype(np.float64)
+        rowmin[:, lens == 0] = ln  # empty strings contribute ln
+        total = x[:, last_idx[0], last_idx[1]].astype(np.float64)  # (nsym, nstr)
+        total[:, lens == 0] = ln
+        # weighted sums accumulated in string order (reference float order)
+        minsum = np.zeros(nsym, dtype=np.float64)
+        totaldist = np.zeros(nsym, dtype=np.float64)
+        for i in range(nstr):
+            minsum += rowmin[:, i] * weights[i]
+            totaldist += total[:, i] * weights[i]
+        best = int(np.argmin(minsum))
+        mediandist[ln] = totaldist[best]
+        med.append(int(symlist[best]))
+        if ln == stoplen or (ln > maxlen and mediandist[ln] > mediandist[ln - 1]):
+            stoplen = ln
+            break
+        # commit: refresh all DP rows for the chosen symbol
+        neqv = np.where(pad, BIG, (smat != med[-1]).astype(np.int32))
+        cand1 = np.minimum(rows[:, :-1] + neqv, rows[:, 1:] + 1)
+        t1 = np.minimum.accumulate(np.minimum(cand1 - jr[None, :], np.int32(ln)), axis=1)
+        rows[:, 1:] = t1 + jr[None, :]
+        rows[:, 0] = ln
+    bestlen = int(np.argmin(mediandist[: stoplen + 1]))
+    return _from_codes(med[:bestlen])
+
+
+def _median_reference_impl(strlist: Sequence[StrOrBytes], wlist=None) -> str:
+    """Direct per-string port of lev_greedy_median (kept as the equivalence
+    oracle for the vectorized ``median``)."""
     weights = _extract_weights(strlist, wlist)
     strings = [_codes(s) for s in strlist]
     symlist = _symlist(strings)
