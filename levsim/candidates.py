@@ -32,8 +32,14 @@ def candidate_pairs(
 
     id_a < id_b canonical order; one row per distinct pair.
     """
-    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("bsize"))
-    b = blocks.join(F.broadcast(sizes.where(F.col("bsize") > 1)), "block_key")
+    # block sizes via a window over the SAME block_key shuffle the join
+    # needs anyway — no aggregate round-trip, and crucially no broadcast:
+    # at web scale the size map has ~10^10 distinct keys and can never be
+    # broadcast (driver OOM); a window count stays fully distributed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("block_key")
+    b = blocks.withColumn("bsize", F.count("*").over(w)).where(F.col("bsize") > 1)
     # deterministic salt: content hash of doc_id, bucketed by how many salt
     # groups this block needs.  n_salt=1 for normal blocks (no-op).
     b = b.withColumn(
