@@ -27,6 +27,10 @@ B = [p[1] for p in PAIRS]
 
 
 def test_c_kernels_available():
+    import os
+
+    if os.environ.get("LEVSIM_NO_C") == "1":
+        pytest.skip("C accelerator disabled via LEVSIM_NO_C")
     assert cbuild.load() is not None, "C accelerator failed to build (gcc present)"
 
 
