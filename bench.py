@@ -44,7 +44,7 @@ def main() -> None:
     from levsim.extras.simsearch import brute_force_topk
     from levsim.extras.textstats import with_textstats
     from levsim.prefilter import ratio_length_bound
-    from levsim.udfs import lev_jaro_winkler_udf, lev_ratio_udf
+    from levsim.udfs import lev_ratio_udf, multi_score_udf
 
     # widen the single-file scan so joins fan out over all cores
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(int(cpus) * 2).cache()
@@ -67,13 +67,18 @@ def main() -> None:
         p = p.withColumn("len_a", F.length("text_a")).withColumn("len_b", F.length("text_b"))
         p = p.where(ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
         p = p.sortWithinPartitions("id_a")
-        p = p.withColumn("ratio", lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
-        p = p.withColumn("jw", lev_jaro_winkler_udf()("text_a", "text_b"))
+        scored = multi_score_udf(("ratio", "jaro_winkler"), ratio_cutoff=tau)("text_a", "text_b")
+        p = p.withColumn("_s", scored).withColumn("ratio", F.col("_s.ratio")).withColumn(
+            "jw", F.col("_s.jaro_winkler")).drop("_s")
         return p
 
-    # q1: scoring hot path
+    # q1: scoring hot path — the aggregate consumes BOTH score columns so
+    # Catalyst cannot prune a scorer out of the measurement
     t0 = time.perf_counter()
-    n_pairs = scored_pairs().count()
+    row = scored_pairs().agg(
+        F.count("ratio").alias("n"), F.count("jw").alias("nj")
+    ).collect()[0]
+    n_pairs = row["n"]
     timings["q1_er_scoring"] = round(time.perf_counter() - t0, 3)
     extra["pairs_scored"] = n_pairs
     extra["pairs_per_sec"] = round(n_pairs / timings["q1_er_scoring"], 1)

@@ -68,14 +68,14 @@ def score_pairs(
         df = df.repartition(repartition, "id_a")
     if sort_for_cache:
         df = df.sortWithinPartitions("id_a")
-    if "ratio" in scorers:
-        df = df.withColumn("ratio", udfs.lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
-    if "jaro_winkler" in scorers:
-        df = df.withColumn("jaro_winkler", udfs.lev_jaro_winkler_udf()("text_a", "text_b"))
-    if "jaro" in scorers:
-        df = df.withColumn("jaro", udfs.lev_jaro_udf()("text_a", "text_b"))
-    if "distance" in scorers:
-        df = df.withColumn("lev_distance", udfs.lev_distance_udf()("text_a", "text_b"))
+    known = tuple(s for s in scorers if s in ("ratio", "jaro_winkler", "jaro", "distance"))
+    if known:
+        # one Arrow crossing for all scores (struct-returning UDF)
+        scored = udfs.multi_score_udf(known, ratio_cutoff=tau)("text_a", "text_b")
+        df = df.withColumn("_scores", scored)
+        for f in df.schema["_scores"].dataType.fieldNames():
+            df = df.withColumn(f, F.col("_scores")[f])
+        df = df.drop("_scores")
     return df
 
 

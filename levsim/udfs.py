@@ -100,6 +100,54 @@ def lev_hamming_udf(score_cutoff: Optional[int] = None):
     return _once(_udf)
 
 
+def multi_score_udf(scorers: Tuple[str, ...] = ("ratio", "jaro_winkler"),
+                    ratio_cutoff: Optional[float] = None):
+    """All requested scores in ONE Arrow crossing, returned as a struct.
+
+    Each extra scorer as a separate pandas UDF re-ships both text columns
+    through Arrow; combining them halves (or better) the Python-boundary
+    bandwidth of the scoring stage — the dominant non-kernel cost at high
+    core counts."""
+    fields = []
+    if "ratio" in scorers:
+        fields.append(StructField("ratio", DoubleType()))
+    if "jaro_winkler" in scorers:
+        fields.append(StructField("jaro_winkler", DoubleType()))
+    if "jaro" in scorers:
+        fields.append(StructField("jaro", DoubleType()))
+    if "distance" in scorers:
+        fields.append(StructField("lev_distance", LongType()))
+    schema = StructType(fields)
+
+    @pandas_udf(schema)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        al, bl = a.tolist(), b.tolist()
+        out = {}
+        nulls = None
+        if "ratio" in scorers:
+            v, n = batch.batch_ratio(al, bl, score_cutoff=ratio_cutoff)
+            out["ratio"] = v
+            nulls = n
+        if "jaro_winkler" in scorers:
+            v, n = batch.batch_jaro_winkler(al, bl)
+            out["jaro_winkler"] = v
+            nulls = n if nulls is None else nulls
+        if "jaro" in scorers:
+            v, n = batch.batch_jaro(al, bl)
+            out["jaro"] = v
+            nulls = n if nulls is None else nulls
+        if "distance" in scorers:
+            v, n = batch.batch_distance(al, bl)
+            out["lev_distance"] = v
+            nulls = n if nulls is None else nulls
+        df = pd.DataFrame(out)
+        if nulls is not None and nulls.any():
+            df.loc[nulls, :] = None
+        return df
+
+    return _once(_udf)
+
+
 EDITOPS_SCHEMA = ArrayType(
     StructType(
         [

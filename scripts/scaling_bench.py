@@ -34,7 +34,7 @@ def child(cpus: int, sf_dir: str) -> None:
 
     from levsim.prefilter import ratio_length_bound
     from levsim.session import get_spark
-    from levsim.udfs import lev_jaro_winkler_udf, lev_ratio_udf
+    from levsim.udfs import multi_score_udf
 
     spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus * 2)
@@ -57,7 +57,7 @@ def child(cpus: int, sf_dir: str) -> None:
     docs = docs.repartition(cpus * 2).cache()
     docs.count()
 
-    def run() -> tuple[float, int]:
+    def run(scorers) -> tuple[float, int]:
         a = docs.select("lang", F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
         b = docs.select("lang", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
         p = a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
@@ -67,20 +67,30 @@ def child(cpus: int, sf_dir: str) -> None:
         # and NO per-partition sort (pure memory traffic at this width —
         # the one-side-cache win is smaller than the sort's bandwidth cost)
         p = p.select("id_a", "id_b", "text_a", "text_b")
-        p = p.withColumn("ratio", lev_ratio_udf(score_cutoff=0.5)("text_a", "text_b"))
-        p = p.withColumn("jw", lev_jaro_winkler_udf()("text_a", "text_b"))
+        # the struct UDF computes every requested score and the aggregate
+        # consumes every field — Catalyst cannot silently prune a scorer
+        # (with separate per-score UDFs + a ratio-only filter it pruned the
+        # jw UDF entirely, which once inflated this bench 4x)
+        scored = multi_score_udf(scorers, ratio_cutoff=0.5)("text_a", "text_b")
+        p = p.withColumn("_s", scored)
+        aggs = [F.count(F.col(f"_s.{f}")).alias(f) for f in
+                ("ratio", "jaro_winkler") if f in scorers]
         t0 = time.perf_counter()
-        n = p.where(F.col("ratio").isNotNull()).count()
-        return time.perf_counter() - t0, n
+        row = p.agg(*aggs).collect()[0]
+        return time.perf_counter() - t0, row[0]
 
-    run()  # warmup (codegen, C-kernel compile, shuffle file creation)
-    best = None
-    for _ in range(2):
-        dt, n = run()
-        if best is None or dt < best[0]:
-            best = (dt, n)
-    print(json.dumps({"cpus": cpus, "wall_sec": round(best[0], 3), "pairs": best[1],
-                      "pairs_per_sec": round(best[1] / best[0], 1)}))
+    out = {"cpus": cpus}
+    for label, scorers in (("ratio_only", ("ratio",)),
+                           ("ratio_jw", ("ratio", "jaro_winkler"))):
+        run(scorers)  # warmup (codegen, C-kernel compile)
+        best = None
+        for _ in range(2):
+            dt, n = run(scorers)
+            if best is None or dt < best[0]:
+                best = (dt, n)
+        out[label] = {"wall_sec": round(best[0], 3), "pairs": best[1],
+                      "pairs_per_sec": round(best[1] / best[0], 1)}
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -99,17 +109,23 @@ def main() -> None:
         results[cpus] = json.loads(line)
         print(line)
 
-    def eff(n, m):
-        return round((results[m]["pairs_per_sec"] / results[n]["pairs_per_sec"]) / (m / n), 3)
+    def eff(workload, n, m):
+        return round(
+            (results[m][workload]["pairs_per_sec"] / results[n][workload]["pairs_per_sec"]) / (m / n), 3
+        )
 
     summary = {
-        "workload": "pair scoring (ratio cutoff=0.5 + jaro_winkler), lang-blocked self-join",
+        "workloads": ["ratio_only (cutoff 0.5)", "ratio_jw (both consumed)"],
         "sf_dir": SF_DIR,
-        "pairs": results[ladder[0]]["pairs"],
-        "pairs_per_sec": {str(c): results[c]["pairs_per_sec"] for c in ladder},
+        "pairs": results[ladder[0]]["ratio_only"]["pairs"],
+        "pairs_per_sec": {
+            w: {str(c): results[c][w]["pairs_per_sec"] for c in ladder}
+            for w in ("ratio_only", "ratio_jw")
+        },
         "scaling_efficiency": {
-            f"{n}_to_{m}": eff(n, m)
-            for n, m in ((4, 16), (8, 32)) if n in results and m in results
+            w: {f"{n}_to_{m}": eff(w, n, m)
+                for n, m in ((4, 16), (8, 32)) if n in results and m in results}
+            for w in ("ratio_only", "ratio_jw")
         },
         "target": 0.8,
     }
