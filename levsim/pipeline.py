@@ -52,6 +52,7 @@ class ERConfig:
 
     def params(self) -> dict:
         return {
+            "cascade": True,  # scoring stage format marker (invalidates pre-cascade snapshots)
             "truncate_len": self.truncate_len,
             "tau": self.tau,
             "scorers": list(self.scorers),
@@ -180,9 +181,14 @@ class ERPipeline:
             wide_pairs = pairs_df.repartition(par, "id_a")
             with_text = scoring.attach_texts(wide_pairs, norm_df, id_col=cfg.id_col,
                                              text_col="norm_text")
-            scored = scoring.score_pairs(with_text, tau=cfg.tau, scorers=cfg.scorers)
-            return scored.select("id_a", "id_b", "block_pass", "block_key",
-                                 *[c for c in cfg.scorers if c in scored.columns])
+            # cascade: the cheap banded ratio kernel gates the candidates;
+            # expensive secondary scorers run only on pairs >= tau
+            secondary = tuple(s for s in cfg.scorers if s != "ratio")
+            scored = scoring.score_pairs_cascade(with_text, tau=cfg.tau,
+                                                 secondary=secondary)
+            keep = [c for c in ("ratio", "jaro_winkler", "jaro", "lev_distance")
+                    if c in scored.columns]
+            return scored.select("id_a", "id_b", "block_pass", "block_key", *keep)
 
         scores_df, r = self._stage("scores", [stages[-1].snapshot_id], compute_scores,
                                    self.tables["scores"])

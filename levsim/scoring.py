@@ -81,3 +81,34 @@ def score_pairs(
 
 def matched_pairs(scored: DataFrame, tau: float, score_col: str = "ratio") -> DataFrame:
     return scored.where(F.col(score_col) >= F.lit(tau))
+
+
+def score_pairs_cascade(
+    pairs_with_text: DataFrame,
+    tau: float,
+    secondary: Sequence[str] = ("jaro_winkler",),
+    repartition: Optional[int] = None,
+) -> DataFrame:
+    """Cascade scoring: cheap-first.  The banded ratio kernel (with its
+    in-kernel cutoff) scores every candidate; expensive secondary scorers
+    (jaro-family is O(l1*l2) on long texts) run ONLY on pairs at or above
+    tau.  This is the reference's score_cutoff early-exit philosophy lifted
+    across scorers: at web scale the overwhelming majority of candidates
+    die at the ratio gate, so secondary-kernel cost tracks the (tiny)
+    match count instead of the candidate count."""
+    df = pairs_with_text.where(
+        prefilter.ratio_length_bound(F.col("len_a"), F.col("len_b"), tau)
+    )
+    if repartition:
+        df = df.repartition(repartition, "id_a")
+    df = df.sortWithinPartitions("id_a")
+    df = df.withColumn("ratio", udfs.lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
+    df = df.where(F.col("ratio") >= F.lit(tau))
+    sec = tuple(s for s in secondary if s in ("jaro_winkler", "jaro", "distance"))
+    if sec:
+        scored = udfs.multi_score_udf(sec)("text_a", "text_b")
+        df = df.withColumn("_scores", scored)
+        for f in df.schema["_scores"].dataType.fieldNames():
+            df = df.withColumn(f, F.col("_scores")[f])
+        df = df.drop("_scores")
+    return df
