@@ -27,10 +27,19 @@ def candidate_pairs(
     blocks: DataFrame,
     max_block_size: int = 200,
     keep_pass_provenance: bool = True,
+    drop_block_size: int | None = None,
 ) -> DataFrame:
     """blocks(doc_id, block_pass, block_key) -> pairs(id_a, id_b[, block_key, block_pass]).
 
     id_a < id_b canonical order; one row per distinct pair.
+
+    ``drop_block_size``: stop-key removal — keys whose block exceeds this
+    size are dropped entirely instead of salted.  A key shared by 10^5+
+    docs (blogspot.com-style mega hosts) discriminates nothing: nearly all
+    its pairs are junk that the scorer must then reject, and recall for
+    true duplicates inside it is carried by the content-based passes
+    (minhash bands, tokensort).  Salting (``max_block_size``) remains the
+    bound for merely-large-but-useful keys below the drop threshold.
     """
     # block sizes via a window over the SAME block_key shuffle the join
     # needs anyway — no aggregate round-trip, and crucially no broadcast:
@@ -40,6 +49,8 @@ def candidate_pairs(
 
     w = Window.partitionBy("block_key")
     b = blocks.withColumn("bsize", F.count("*").over(w)).where(F.col("bsize") > 1)
+    if drop_block_size is not None:
+        b = b.where(F.col("bsize") <= drop_block_size)
     # deterministic salt: content hash of doc_id, bucketed by how many salt
     # groups this block needs.  n_salt=1 for normal blocks (no-op).
     b = b.withColumn(

@@ -38,6 +38,7 @@ class ERConfig:
     rows_per_band: int = 4
     shingle_k: int = 3
     max_block_size: int = 200
+    drop_block_size: int | None = None  # stop-key removal threshold (see candidates.py)
     consensus_method: str = "setmedian"
     blocking_passes: tuple = ("host", "minhash", "tokensort")
     id_col: str = "url"
@@ -61,6 +62,7 @@ class ERConfig:
             "rows_per_band": self.rows_per_band,
             "shingle_k": self.shingle_k,
             "max_block_size": self.max_block_size,
+            "drop_block_size": self.drop_block_size,
             "consensus": self.consensus_method,
             "passes": list(self.blocking_passes),
         }
@@ -167,7 +169,8 @@ class ERPipeline:
                 shingle_k=cfg.shingle_k,
                 passes=cfg.blocking_passes,
             )
-            return candidates.candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+            return candidates.candidate_pairs(blocks, max_block_size=cfg.max_block_size,
+                                              drop_block_size=cfg.drop_block_size)
 
         pairs_df, r = self._stage("candidates", [stages[-1].snapshot_id], compute_pairs,
                                   self.tables["pairs"])
