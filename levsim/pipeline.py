@@ -175,6 +175,11 @@ class ERPipeline:
         pairs_df, r = self._stage("candidates", [stages[-1].snapshot_id], compute_pairs,
                                   self.tables["pairs"])
         stages.append(r)
+        if not r.skipped:
+            # blocking observability: per-pass candidate counts -> lineage
+            by_pass = {row.block_pass: row["count"]
+                       for row in pairs_df.groupBy("block_pass").count().collect()}
+            self._lineage[-1]["pairs_by_pass"] = by_pass
 
         def compute_scores():
             # widen the ids-only pair set BEFORE attaching texts: pair rows

@@ -57,6 +57,16 @@ def test_candidate_salting_bounds_block_size(spark):
     assert len(got) == len({(r.id_a, r.id_b) for r in got})
 
 
+def test_candidate_stop_key_drop(spark):
+    rows = ([(f"d{i:03d}", "host", "h:mega") for i in range(50)]
+            + [("a", "host", "h:ok"), ("b", "host", "h:ok")])
+    blocks = spark.createDataFrame(rows, ["doc_id", "block_pass", "block_key"])
+    pairs = candidates.candidate_pairs(blocks, max_block_size=10, drop_block_size=40)
+    got = pairs.collect()
+    # mega block (50 > 40) dropped entirely; normal block survives
+    assert len(got) == 1 and got[0].id_a == "a" and got[0].id_b == "b"
+
+
 def test_candidate_multi_pass_dedup(spark):
     rows = [
         ("a", "host", "h:x"), ("b", "host", "h:x"),
