@@ -300,35 +300,60 @@ void batch_indel(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, cons
 
 /* ------------------------------ Jaro ---------------------------------- */
 
+/* Greedy Jaro matching, bit-parallel: for each pattern char the "first
+ * unmatched equal text char inside the window" is the lowest set bit of
+ * PM[c] & window & ~matched — identical semantics to the sequential scan,
+ * O(l1 * l2/64) instead of O(l1 * window). */
 static double jaro_one(const uint32_t *p, int64_t l1, const uint32_t *t, int64_t l2,
-                       uint8_t *pf, uint8_t *tf)
+                       uint8_t *pf, uint64_t *tmask /* scratch >= W words */)
 {
     if (l1 == 0 && l2 == 0) return 1.0;
     if (l1 == 0 || l2 == 0) return 0.0;
     int64_t bound = MAX(l1, l2) / 2;
     if (bound > 0) bound--;
+    int64_t W = (l2 + 63) >> 6;
+    PeqMap pm;
+    peq_build(&pm, t, l2, W);
+    static const uint64_t zsmall[64] = {0};
+    const uint64_t *zeros = zsmall;
+    uint64_t *zbig = NULL;
+    if (W > 64) { zbig = (uint64_t *)calloc((size_t)W, sizeof(uint64_t)); zeros = zbig; }
     memset(pf, 0, (size_t)l1);
-    memset(tf, 0, (size_t)l2);
+    for (int64_t w = 0; w < W; w++) tmask[w] = 0; /* matched text positions */
     int64_t m = 0;
     for (int64_t i = 0; i < l1; i++) {
         int64_t lo = i > bound ? i - bound : 0;
         int64_t hi = MIN(l2, i + bound + 1);
-        for (int64_t j = lo; j < hi; j++) {
-            if (!tf[j] && t[j] == p[i]) {
-                tf[j] = 1;
+        if (lo >= hi) continue;
+        const uint64_t *PM = peq_get(&pm, p[i], zeros);
+        int64_t wlo = lo >> 6, whi = (hi - 1) >> 6;
+        for (int64_t w = wlo; w <= whi; w++) {
+            uint64_t mask = ~0ull;
+            if (w == wlo) mask &= ~0ull << (lo & 63);
+            if (w == whi && (hi & 63)) mask &= (1ull << (hi & 63)) - 1;
+            uint64_t cand = PM[w] & mask & ~tmask[w];
+            if (cand) {
+                tmask[w] |= cand & (~cand + 1); /* lowest set bit */
                 pf[i] = 1;
                 m++;
                 break;
             }
         }
     }
+    free(pm.keys);
+    free(pm.masks);
+    free(zbig);
     if (m == 0) return 0.0;
-    int64_t trans = 0, k = 0;
+    /* transpositions: walk matched pattern chars against matched text
+     * positions in order */
+    int64_t trans = 0, w = 0;
+    uint64_t bits = tmask[0];
     for (int64_t i = 0; i < l1; i++) {
         if (!pf[i]) continue;
-        while (!tf[k]) k++;
-        if (p[i] != t[k]) trans++;
-        k++;
+        while (bits == 0) bits = tmask[++w];
+        int64_t j = w * 64 + __builtin_ctzll(bits);
+        bits &= bits - 1;
+        if (p[i] != t[j]) trans++;
     }
     trans /= 2;
     double dm = (double)m;
@@ -345,11 +370,11 @@ void batch_jaro(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const
         if (l2 > maxn) maxn = l2;
     }
     uint8_t *pf = (uint8_t *)malloc((size_t)maxn);
-    uint8_t *tf = (uint8_t *)malloc((size_t)maxn);
+    uint64_t *tmask = (uint64_t *)malloc((size_t)(maxn / 64 + 2) * sizeof(uint64_t));
     for (int64_t i = 0; i < npairs; i++)
-        out[i] = jaro_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i], pf, tf);
+        out[i] = jaro_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i], pf, tmask);
     free(pf);
-    free(tf);
+    free(tmask);
 }
 
 void batch_jaro_winkler(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
@@ -362,12 +387,12 @@ void batch_jaro_winkler(const uint32_t *ca, const int64_t *oa, const uint32_t *c
         if (l2 > maxn) maxn = l2;
     }
     uint8_t *pf = (uint8_t *)malloc((size_t)maxn);
-    uint8_t *tf = (uint8_t *)malloc((size_t)maxn);
+    uint64_t *tmask = (uint64_t *)malloc((size_t)(maxn / 64 + 2) * sizeof(uint64_t));
     for (int64_t i = 0; i < npairs; i++) {
         const uint32_t *a = ca + oa[i];
         const uint32_t *b = cb + ob[i];
         int64_t l1 = oa[i + 1] - oa[i], l2 = ob[i + 1] - ob[i];
-        double sim = jaro_one(a, l1, b, l2, pf, tf);
+        double sim = jaro_one(a, l1, b, l2, pf, tmask);
         if (sim > 0.7) {
             int64_t nmax = MIN(MIN(l1, l2), (int64_t)4);
             int64_t pr = 0;
@@ -377,7 +402,7 @@ void batch_jaro_winkler(const uint32_t *ca, const int64_t *oa, const uint32_t *c
         out[i] = sim;
     }
     free(pf);
-    free(tf);
+    free(tmask);
 }
 
 /* ----------------------------- MinHash -------------------------------- */
