@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def cosine_col(va, vb) -> F.Column:
@@ -95,6 +95,92 @@ def hyperplane_sig_udf(n_planes: int, dim: int, seed: int = 7):
         return pd.Series(out, dtype="Int64")
 
     return _udf
+
+
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (cosine space:
+    vectors are L2-normalized first).  Seeding is content-derived: the k
+    sample vectors with the lexicographically smallest blake2b digests —
+    reproducible across runs and partitionings, no RNG state."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    digs = [hashlib.blake2b(v.astype("<f4").tobytes(), digest_size=8).digest() for v in x]
+    seed_idx = sorted(range(len(x)), key=lambda i: digs[i])[:k]
+    c = x[seed_idx].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    c[j] = m / n
+    return c
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 3,
+    train_sample: int = 2048,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest of ``nlist`` k-means centroids; each query probes only its
+    ``nprobe`` closest cells and re-ranks by exact cosine inside them.
+
+    The scale path for 10^9+ vectors: per-query work drops by ~nlist/nprobe
+    while recall stays high when clusters are balanced.  Centroids are
+    trained driver-side on a deterministic sample (lowest ids) and shipped
+    as a broadcast-sized literal inside the assignment UDF."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    sample = np.array(
+        [r.v for r in corpus.select(F.col(vec_col).alias("v"))
+         .orderBy(F.col(id_col)).limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans_centroids(sample, nlist)
+
+    def assign_udf(n_cells: int):
+        @pandas_udf(ArrayType(LongType()))
+        def _udf(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs.tolist():
+                if v is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(x)
+                sims = cents @ (x / n if n > 1e-12 else x)
+                out.append([int(c) for c in np.argsort(-sims)[:n_cells]])
+            return pd.Series(out)
+
+        return _udf
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        F.explode(assign_udf(1)(F.col(vec_col))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(assign_udf(nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = c.join(q, "cell").dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("cosine", F.round(cosine_col(F.col("cvec"), F.col("qvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_topk(

@@ -98,6 +98,30 @@ def test_lsh_topk_recall(spark):
     assert hits >= 4, (exact_map, approx_map)
 
 
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(120, 64)
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(i, (base[i] + rng.randn(64) * 0.05).tolist()) for i in range(8)],
+        ["query_id", "embedding"],
+    )
+    exact = {r.query_id: r.neighbor_id
+             for r in simsearch.brute_force_topk(corpus, queries, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id
+              for r in simsearch.ivf_topk(corpus, queries, k=1, nlist=8, nprobe=3).collect()}
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 7, (exact, approx)
+    # determinism: same inputs -> same results
+    again = {r.query_id: r.neighbor_id
+             for r in simsearch.ivf_topk(corpus, queries, k=1, nlist=8, nprobe=3).collect()}
+    assert again == approx
+
+
 def test_textstats(spark, docs):
     out = {r.doc_id: r for r in textstats.with_textstats(docs).collect()}
     assert out[1].n_tokens == 9
