@@ -337,6 +337,16 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):  # rows-only (k-means cells not SQL-expressible)
+    from levsim.extras.simsearch import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=3, nlist=8, nprobe=3)
+
+
 def q_minhash_dedup_pairs(spark, sf_dir):  # rows-only (hash-based keys)
     from levsim.extras.dedup import minhash_candidate_pairs
 
@@ -425,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "chain_components": q_chain_components,
         "event_sessions": q_event_sessions,
+        "ivf_topk": q_ivf_topk,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
