@@ -191,14 +191,17 @@ def q_block_pair_counts(spark, sf_dir):
 def q_topk_jw_matches(spark, sf_dir):
     from levsim.udfs import lev_jaro_winkler_udf
 
+    # rank on the UNROUNDED jw (the oracle's row_number also orders by the
+    # unrounded jaro_winkler_similarity) so sub-1e-6 score gaps cannot rank
+    # differently across engines; round only for the emitted column
     p = _pairs(spark, sf_dir).withColumn(
-        "jw", F.round(lev_jaro_winkler_udf()("text_a", "text_b"), 6)
+        "jw_raw", lev_jaro_winkler_udf()("text_a", "text_b")
     )
-    w = Window.partitionBy("id_a").orderBy(F.desc("jw"), F.asc("id_b"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("jw_raw"), F.asc("id_b"))
     return (
         p.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 2)
-        .select("id_a", "id_b", "jw", "rnk")
+        .select("id_a", "id_b", F.round("jw_raw", 6).alias("jw"), "rnk")
     )
 
 
@@ -243,7 +246,9 @@ def q_token_stats_lang(spark, sf_dir):
 def q_punct_alpha_stats(spark, sf_dir):
     from levsim.extras.textstats import alpha_ratio, punct_ratio
 
-    d = _docs(spark, sf_dir)
+    # empty-text guard matches the oracle's WHERE length(text) > 0 (the
+    # ratios are undefined on empty text; Spark would emit 0.0 defaults)
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
     return d.select(
         "doc_id",
         F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
@@ -516,8 +521,10 @@ def oracle_sql() -> dict[str, str]:
         "token_jaccard_pairs": _P_CTE
         + f"SELECT id_a, id_b, {jacc} AS jaccard FROM p WHERE {jacc} >= 0.2",
         "token_stats_lang": (
+            # CAST: DuckDB sum() over integers yields HUGEINT (surfaces as
+            # float64 through the harness); Spark emits BIGINT
             "SELECT lang, count(*) AS n_docs, "
-            "sum(len(string_split(trim(text), ' '))) AS sum_tokens, "
+            "CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sum_tokens, "
             "min(len(string_split(trim(text), ' '))) AS min_tokens, "
             "max(len(string_split(trim(text), ' '))) AS max_tokens "
             "FROM documents GROUP BY lang"
@@ -571,9 +578,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 "
             "ELSE 0 END AS new_sess, ts FROM events), "
             "s AS (SELECT user_id, event_id, "
-            "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
-            "SELECT user_id, session_no, count(*) AS n_events, "
+            "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g) "
+            "SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events, "
             "min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM s GROUP BY user_id, session_no"
         ),

@@ -492,3 +492,38 @@ void batch_hamming(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, co
         out[i] = d;
     }
 }
+
+/* ----------------------------- SimHash -------------------------------- */
+
+/* 64-bit SimHash per doc (Charikar 2002): tokenize on whitespace runs
+ * (same rule as batch_minhash), full fnv1a64 per token, +/-1 vote per bit,
+ * sign -> signature bit.  The top bit is flipped before the signed cast so
+ * the result equals the Python scalar path's `sig - 2**63` reinterpret
+ * (extras.dedup.simhash64).  Empty/whitespace-only doc -> 0. */
+void batch_simhash(const uint32_t *codes, const int64_t *offs, int64_t ndocs,
+                   int64_t *out)
+{
+    for (int64_t d = 0; d < ndocs; d++) {
+        const uint32_t *s = codes + offs[d];
+        int64_t n = offs[d + 1] - offs[d];
+        int64_t votes[64] = {0};
+        int64_t nt = 0;
+        int64_t i = 0;
+        while (i < n) {
+            while (i < n && is_ws(s[i])) i++;
+            int64_t st = i;
+            while (i < n && !is_ws(s[i])) i++;
+            if (i > st) {
+                uint64_t h = fnv1a64(s + st, i - st);
+                for (int b = 0; b < 64; b++)
+                    votes[b] += ((h >> b) & 1ull) ? 1 : -1;
+                nt++;
+            }
+        }
+        if (nt == 0) { out[d] = 0; continue; }
+        uint64_t sig = 0;
+        for (int b = 0; b < 64; b++)
+            if (votes[b] > 0) sig |= 1ull << b;
+        out[d] = (int64_t)(sig ^ 0x8000000000000000ull);
+    }
+}

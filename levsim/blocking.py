@@ -69,13 +69,20 @@ def _tokenize(text: str) -> List[str]:
 
 
 @lru_cache(maxsize=1 << 20)
-def _word_hash(token: str) -> int:
-    """FNV-1a 64 over the token's UTF-32LE bytes, mod P (mirrors C)."""
+def _word_hash64(token: str) -> int:
+    """FNV-1a 64 over the token's UTF-32LE bytes (full 64 bits, mirrors the
+    C kernel's fnv1a64 — shared by MinHash (mod P) and SimHash (raw bits))."""
     h = 0xCBF29CE484222325
     for b in token.encode("utf-32-le"):
         h ^= b
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h % _P
+    return h
+
+
+@lru_cache(maxsize=1 << 20)
+def _word_hash(token: str) -> int:
+    """FNV-1a 64 over the token's UTF-32LE bytes, mod P (mirrors C)."""
+    return _word_hash64(token) % _P
 
 
 # fixed odd multipliers for positional shingle combination (content-free

@@ -16,7 +16,6 @@ Four families, each returning DataFrames composable with the ER pipeline:
 
 from __future__ import annotations
 
-import hashlib
 from typing import List
 
 import numpy as np
@@ -34,17 +33,34 @@ from .. import blocking
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
+                     max_dup_ids: int = 20) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_dups, keep_id, dup_ids).
 
-    keep_id = min id (deterministic canonical survivor)."""
+    keep_id = min id (deterministic canonical survivor).  ``dup_ids`` keeps
+    only the ``max_dup_ids`` smallest ids per group (a boilerplate page
+    duplicated 10^7x must not materialize one giant row at 100 TB — rows
+    beyond the cap are filtered BEFORE the aggregation, so per-group state
+    is bounded; n_dups still counts all members).  ``max_dup_ids=None``
+    disables the cap (small-data debugging only)."""
+    hashed = df.select(F.col(id_col).alias("doc_id"), F.xxhash64(text_col).alias("text_hash"))
+    if max_dup_ids is None:
+        listed = F.sort_array(F.collect_list("doc_id"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_hash").orderBy("doc_id")
+        hashed = hashed.withColumn("_rn", F.row_number().over(w))
+        # collect_list drops nulls -> only the first max_dup_ids ids survive
+        listed = F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_dup_ids, F.col("doc_id")))
+        )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.xxhash64(text_col).alias("text_hash"))
-        .groupBy("text_hash")
+        hashed.groupBy("text_hash")
         .agg(
             F.count("*").alias("n_dups"),
             F.min("doc_id").alias("keep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+            listed.alias("dup_ids"),
         )
         .where(F.col("n_dups") > 1)
     )
@@ -91,38 +107,85 @@ def minhash_candidate_pairs(
 
 def simhash64(tokens: List[str]) -> int:
     """64-bit SimHash of a token multiset (Charikar random-hyperplane
-    sketch with per-token blake2b bit vectors)."""
+    sketch; per-token FNV-1a 64 bit vectors, identical to the C batch
+    kernel ``batch_simhash``).  Scalar reference path — batches go through
+    :func:`batch_simhash`."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    hs = np.fromiter((blocking._word_hash64(t) for t in tokens),
+                     dtype=np.uint64, count=len(tokens))
     shifts = np.arange(64, dtype=np.uint64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-        bits = (np.uint64(h) >> shifts) & np.uint64(1)
-        acc += 2 * bits.astype(np.int64) - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out - (1 << 63)  # signed int64
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (ntok, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+    return out - (1 << 63)  # == int64 reinterpret of (sig XOR top bit)
+
+
+def batch_simhash(texts: List[str | None]) -> np.ndarray:
+    """Vectorized signatures for a whole batch (int64 per doc): C kernel
+    (tokenize + hash + vote in one call) when available, NumPy fallback
+    otherwise — bit-identical paths, asserted in tests."""
+    from .. import cbuild
+    from ..batch import _flatten, _ptr
+
+    safe = ["" if t is None else t for t in texts]
+    lib = cbuild.load()
+    if lib is not None and hasattr(lib, "batch_simhash"):
+        import ctypes
+
+        codes, offs, _ = _flatten(safe)
+        out = np.empty(len(safe), dtype=np.int64)
+        lib.batch_simhash(
+            _ptr(codes, ctypes.c_uint32), _ptr(offs, ctypes.c_int64),
+            ctypes.c_int64(len(safe)), _ptr(out, ctypes.c_int64),
+        )
+        return out
+    return np.array([simhash64(blocking._tokenize(t)) for t in safe], dtype=np.int64)
 
 
 def simhash_udf():
     @pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
+        tl = texts.tolist()
+        sigs = batch_simhash(tl)
         return pd.Series(
-            [None if t is None else simhash64(t.split()) for t in texts.tolist()],
+            [None if t is None else int(s) for t, s in zip(tl, sigs)],
             dtype="Int64",
         )
 
     return _udf
 
 
+def simhash_band_bounds(max_hamming: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) for each of ``max_hamming + 1`` bands over an
+    ``n_bits`` signature.  Pigeonhole: a pair differing in at most
+    ``max_hamming`` bits leaves at least one of the ``max_hamming + 1``
+    disjoint bands untouched, so banding on these keys has recall 1 for the
+    hamming <= max_hamming contract.  Widths differ by at most one bit."""
+    if not 0 <= max_hamming < n_bits:
+        raise ValueError(f"max_hamming must be in [0, {n_bits - 1}]")
+    n_bands = max_hamming + 1
+    base, extra = divmod(n_bits, n_bands)
+    bounds = []
+    off = 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4x16-bit keys
-    (any pair within hamming distance 3 shares at least one band — pigeonhole),
-    join on band equality, verify exact bit-hamming with JVM expressions."""
+    """SimHash near-dup pairs with a guaranteed recall contract: the 64-bit
+    signature is split into ``max_hamming + 1`` disjoint bands (pigeonhole —
+    every pair within the hamming threshold shares at least one full band),
+    candidates join on band equality, exact bit-hamming verified with JVM
+    expressions.  Emits EXACTLY the pairs with hamming <= max_hamming.
+
+    Scale note: band width is 64/(max_hamming+1) bits, so large thresholds
+    mean short keys and big buckets (n^2 within bucket).  Keep max_hamming
+    small at scale (Manku et al. WWW'07 use <= 3 over permuted tables)."""
     sig = df.select(F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("sh"))
     bands = sig.select(
         "doc_id",
@@ -130,8 +193,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{i}:"),
-                         F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"))
-                for i in range(4)
+                         F.shiftright(F.col("sh"), off)
+                         .bitwiseAND(F.lit((1 << w) - 1)).cast("string"))
+                for i, (off, w) in enumerate(simhash_band_bounds(max_hamming))
             ])
         ).alias("band_key"),
     )

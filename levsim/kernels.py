@@ -616,7 +616,9 @@ def median(strlist: Sequence[StrOrBytes], wlist=None) -> str:
         t1 = np.minimum.accumulate(np.minimum(cand1 - jr[None, :], np.int32(ln)), axis=1)
         rows[:, 1:] = t1 + jr[None, :]
         rows[:, 0] = ln
-    bestlen = int(np.argmin(mediandist[: stoplen + 1]))
+    # reference min_element(mediandist, mediandist + stoplen) is EXCLUSIVE of
+    # the final computed index (_levenshtein.hpp:243-244, stoplen reset :221)
+    bestlen = int(np.argmin(mediandist[:stoplen]))
     return _from_codes(med[:bestlen])
 
 
@@ -675,7 +677,8 @@ def _median_reference_impl(strlist: Sequence[StrOrBytes], wlist=None) -> str:
             t = np.minimum.accumulate(np.minimum(cand - jr, ln))
             row[1:] = t + jr
             row[0] = ln
-    bestlen = int(np.argmin(mediandist[: stoplen + 1]))
+    # exclusive bound, matching _levenshtein.hpp:243-244 exactly
+    bestlen = int(np.argmin(mediandist[:stoplen]))
     return _from_codes(med[:bestlen])
 
 

@@ -9,13 +9,20 @@ engine pushes down as its Catalyst prefilter (levsim.prefilter).
 
 from __future__ import annotations
 
+from warnings import warn
+
 from . import kernels
 
 
 class StringMatcher:
-    def __init__(self, isjunk=None, seq1: str = "", seq2: str = "") -> None:
+    def __init__(self, isjunk=None, seq1: str = "", seq2: str = "",
+                 autojunk: bool = False) -> None:
+        # reference warns and ignores both knobs rather than raising
+        # (src/Levenshtein/StringMatcher.py:25-35)
         if isjunk:
-            raise NotImplementedError("isjunk is not supported")
+            warn("isjunk NOT implemented, it will be ignored", stacklevel=1)
+        if autojunk:
+            warn("autojunk NOT implemented, it will be ignored", stacklevel=1)
         self._str1 = seq1
         self._str2 = seq2
         self._reset_cache()

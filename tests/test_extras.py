@@ -50,11 +50,59 @@ def test_minhash_determinism(spark, docs):
 
 
 def test_simhash_pairs(spark, docs):
-    pairs = dedup.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
+    pairs = dedup.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
     got = {(r.id_a, r.id_b): r.hamming_bits for r in pairs.collect()}
     assert got[(1, 2)] == 0        # identical texts -> identical simhash
-    assert (1, 3) in got           # near dup within hamming budget
+    assert (1, 3) in got           # near dup within hamming budget (hamming 7)
     assert (1, 4) not in got
+
+
+def test_simhash_batch_equals_scalar():
+    from levsim.blocking import _tokenize
+
+    texts = ["a b c", "a  b\tc", "", None, "x", "the the the different words here"]
+    got = dedup.batch_simhash(texts)
+    for t, s in zip(texts, got):
+        assert int(s) == dedup.simhash64(_tokenize(t or ""))
+
+
+def test_simhash_band_bounds():
+    import pytest as _pytest
+
+    for k in (0, 1, 3, 8, 31, 63):
+        bounds = dedup.simhash_band_bounds(k)
+        assert len(bounds) == k + 1
+        assert sum(w for _, w in bounds) == 64          # disjoint, exhaustive
+        assert all(w >= 1 for _, w in bounds)
+        offs = [o for o, _ in bounds]
+        assert offs == sorted(offs) and offs[0] == 0
+    with _pytest.raises(ValueError):
+        dedup.simhash_band_bounds(64)
+
+
+def test_simhash_recall_contract(spark):
+    """Every pair within max_hamming MUST be emitted (pigeonhole banding) —
+    the round-1 bug was max_hamming=8 on 4 fixed bands (recall only <=3).
+    Brute-force oracle over a corpus dense enough to populate 4-8 bit gaps."""
+    rows = []
+    for i in range(40):
+        # perturb a shared vocabulary so signatures land near each other
+        toks = [f"w{j + (i % 7 == j % 7) * i}" for j in range(12)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {i: dedup.simhash64(t.split()) for i, t in rows}
+    for k in (3, 8):
+        want = {
+            (a, b)
+            for a in range(40) for b in range(a + 1, 40)
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= k
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_candidate_pairs(df, "doc_id", "text",
+                                                   max_hamming=k).collect()
+        }
+        assert got == want, f"max_hamming={k}: missing {want - got}"
 
 
 def test_jaccard_dedup(spark, docs):
