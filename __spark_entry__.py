@@ -366,6 +366,105 @@ def q_simhash_pairs(spark, sf_dir):  # rows-only (hash-based signatures)
     return simhash_candidate_pairs(d, "doc_id", "text", max_hamming=8)
 
 
+def q_lev_ratio_trunc(spark, sf_dir):
+    """Indel ratio over 20-char prefixes — the flagship scorer's semantics
+    (reference __init__.py:133-179) checked against a DuckDB recursive-CTE
+    indel DP (no builtin exists; the CTE runs the two-row DP via the
+    min-plus unrolling row'[j] = min_k<=j (m[k] + j - k))."""
+    from levsim.udfs import lev_ratio_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.substring("text_a", 1, 20).alias("ta"),
+        F.substring("text_b", 1, 20).alias("tb"),
+    )
+    return p.select(
+        "id_a", "id_b", F.round(lev_ratio_udf()("ta", "tb"), 6).alias("ratio")
+    )
+
+
+def _chars(col, n):
+    return F.filter(F.split(F.substring(col, 1, n), ""), lambda x: x != F.lit(""))
+
+
+def q_seqratio_chars(spark, sf_dir):
+    """seqratio over single-character token lists reduces EXACTLY to the
+    indel ratio of the underlying strings (per-item substitution cost
+    2*indel_norm in {0,2} == classic indel DP), so the recursive-CTE oracle
+    checks the sequence-DP path (reference lev_edit_seq_distance,
+    _levenshtein.hpp:551-624) cross-engine."""
+    from levsim.udfs import seqratio_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        _chars(F.col("text_a"), 20).alias("ca"),
+        _chars(F.col("text_b"), 20).alias("cb"),
+    )
+    return p.select(
+        "id_a", "id_b", F.round(seqratio_udf()("ca", "cb"), 6).alias("seqratio")
+    )
+
+
+def q_setratio_chars(spark, sf_dir):
+    """setratio over single-character lists: the Munkres-Blackman optimal
+    assignment (reference _levenshtein.cpp:202-381) degenerates to multiset
+    intersection — dist = |n1-n2| + 2*(min(n1,n2) - |multiset intersect|) —
+    which IS expressible in SQL, giving the Hungarian path a hard oracle."""
+    from levsim.udfs import setratio_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        _chars(F.col("text_a"), 16).alias("ca"),
+        _chars(F.col("text_b"), 16).alias("cb"),
+    )
+    return p.select(
+        "id_a", "id_b", F.round(setratio_udf()("ca", "cb"), 6).alias("setratio")
+    )
+
+
+def q_simhash_md5_pairs(spark, sf_dir):
+    """SQL-algebra SimHash (md5 token hashes — the one hash both engines
+    share): banded LSH join with the pigeonhole recall contract.  The
+    oracle recomputes signatures in DuckDB and takes the ALL-PAIRS hamming
+    filter — the sets match iff banding loses nothing."""
+    from levsim.extras.dedup import simhash_sql_pairs
+
+    d = _docs(spark, sf_dir)
+    return simhash_sql_pairs(d, "doc_id", "text", max_hamming=3, n_bits=32)
+
+
+def _minhash_perms(n_perm: int = 8, seed: int = 0x5EED):
+    from levsim.blocking import _perm_params
+
+    a, c = _perm_params(n_perm, seed)
+    return [(int(x), int(y)) for x, y in zip(a, c)]
+
+
+def q_minhash_md5_pairs(spark, sf_dir):
+    """SQL-algebra MinHash LSH (md5 shingle hashes, 8 affine permutations,
+    4 bands x 2 rows): the oracle re-derives the IDENTICAL candidate set
+    with an all-pairs join and a per-band equality disjunction."""
+    from levsim.extras.dedup import minhash_sql_pairs
+
+    d = _docs(spark, sf_dir)
+    return minhash_sql_pairs(d, "doc_id", "text", _minhash_perms(),
+                             rows_per_band=2, shingle_k=2)
+
+
+def q_ivf_topk_exact(spark, sf_dir):
+    """IVF with nprobe == nlist probes every cell, so the result must equal
+    exact brute-force top-k — a hard cross-engine check of the IVF
+    machinery (k-means assignment, cell join, re-rank) against the same
+    SQL oracle as cosine_topk (self-match included: rank 1, cosine 1.0)."""
+    from levsim.extras.simsearch import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=3, nlist=8, nprobe=8, round_decimals=3)
+
+
 def q_seqratio_groups(spark, sf_dir):  # rows-only (no SQL seqratio)
     from levsim.udfs import seqratio_udf, setratio_udf
 
@@ -444,7 +543,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
+        "lev_ratio_trunc": q_lev_ratio_trunc,
+        "seqratio_chars": q_seqratio_chars,
+        "setratio_chars": q_setratio_chars,
+        "simhash_md5_pairs": q_simhash_md5_pairs,
+        "minhash_md5_pairs": q_minhash_md5_pairs,
+        "ivf_topk_exact": q_ivf_topk_exact,
     }
+
+
+def _indel_cte_sql(trunc_len: int, out_alias: str) -> str:
+    """Recursive-CTE indel-distance DP over ``trunc_len``-char prefixes.
+
+    DuckDB has no LCS/indel builtin, so the oracle runs the DP itself:
+    state = (pair, row index i, DP row as list).  The within-row insert
+    dependency is removed by the exact min-plus unrolling
+    row'[j] = j + min_{k<=j} (m[k] - k) with m[0] = i+1 and
+    m[k] = min(prev[k] + 1, prev[k-1] if a_i == b_k) — the same identity
+    the engine's vectorized kernel uses (levsim/kernels.py prefix scan)."""
+    return (
+        "WITH RECURSIVE p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"substr(a.text, 1, {trunc_len}) AS ta, substr(b.text, 1, {trunc_len}) AS tb "
+        "FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "dp AS ("
+        "SELECT id_a, id_b, ta, tb, 0 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> j) AS row FROM p "
+        "UNION ALL "
+        "SELECT id_a, id_b, ta, tb, i + 1 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        "j + list_min(list_transform(generate_series(0, j), k -> "
+        "(CASE WHEN k = 0 THEN i + 1 "
+        "ELSE least(row[k+1] + 1, CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) "
+        "THEN row[k] ELSE 999999 END) END) - k))) AS row "
+        "FROM dp WHERE i < length(ta)), "
+        "fin AS (SELECT id_a, id_b, ta, tb, row[length(tb)+1] AS d FROM dp "
+        "WHERE i = length(ta)) "
+        "SELECT id_a, id_b, CASE WHEN length(ta) + length(tb) = 0 THEN 1.0 "
+        "ELSE round(1.0 - d * 1.0 / (length(ta) + length(tb)), 6) END "
+        f"AS {out_alias} FROM fin"
+    )
+
+
+_MD5_HASH15 = (
+    "list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5({t}), i, 1)) - 1)::BIGINT << (4*(15-i))))"
+)
+
+
+def _simhash_md5_sql(max_hamming: int = 3, n_bits: int = 32) -> str:
+    """All-pairs SimHash-hamming oracle with signatures recomputed in SQL
+    (md5 token hashes, per-bit majority votes) — matches
+    ``levsim.extras.dedup.simhash_sql_pairs`` exactly iff its LSH banding
+    loses no qualifying pair."""
+    hexpr = _MD5_HASH15.format(t="t")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(harr, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+        f"sigs AS (SELECT doc_id, list_transform(tk, t -> {hexpr}) AS harr FROM toks), "
+        f"sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sig FROM sigs) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming_bits "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"
+    )
+
+
+def _minhash_md5_sql(perms, rows_per_band: int = 2) -> str:
+    """All-pairs band-equality oracle for SQL-algebra MinHash LSH — the
+    per-band conjunction disjunction re-derives exactly the banded join of
+    ``levsim.extras.dedup.minhash_sql_pairs``."""
+    P = 2147483647
+    hexpr = _MD5_HASH15.format(t="s")
+    lanes = ", ".join(
+        f"coalesce(list_min(list_transform(hm, h -> ({a} * h + {c}) % {P})), {P - 1}) AS s{i}"
+        for i, (a, c) in enumerate(perms)
+    )
+    n_bands = len(perms) // rows_per_band
+    band_or = " OR ".join(
+        "(" + " AND ".join(
+            f"a.s{bi * rows_per_band + r} = b.s{bi * rows_per_band + r}"
+            for r in range(rows_per_band)
+        ) + ")"
+        for bi in range(n_bands)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+        "shj AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN "
+        "list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) "
+        "ELSE tk END AS sh FROM toks), "
+        f"hm_t AS (SELECT doc_id, list_transform(sh, s -> ({hexpr}) % {P}) AS hm FROM shj), "
+        f"sigs AS (SELECT doc_id, {lanes} FROM hm_t) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
+        f"ON a.doc_id < b.doc_id WHERE {band_or}"
+    )
+
+
+def _chars_sql(col: str, n: int) -> str:
+    return f"list_transform(generate_series(1, length(substr({col}, 1, {n}))), i -> substr({col}, i, 1))"
+
+
+def _setratio_chars_sql(trunc_len: int = 16) -> str:
+    """Multiset-intersection closed form of setratio on single-char lists
+    (optimal assignment == match as many equal chars as possible)."""
+    inter = (
+        "coalesce(list_sum(list_transform(list_distinct(list_concat(ca, cb)), d -> "
+        "least(len(list_filter(ca, x -> x = d)), len(list_filter(cb, x -> x = d))))), 0)"
+    )
+    return (
+        "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"substr(a.text, 1, {trunc_len}) AS ta, substr(b.text, 1, {trunc_len}) AS tb "
+        "FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        f"c AS (SELECT id_a, id_b, {_chars_sql('ta', trunc_len)} AS ca, "
+        f"{_chars_sql('tb', trunc_len)} AS cb, "
+        "length(ta) AS la, length(tb) AS lb FROM p) "
+        "SELECT id_a, id_b, CASE WHEN la + lb = 0 THEN 1.0 ELSE "
+        f"round((la + lb - (abs(la - lb) + 2 * (least(la, lb) - {inter}))) * 1.0 "
+        "/ (la + lb), 6) END AS setratio FROM c"
+    )
 
 
 def _stop_sql(lang: str) -> str:
@@ -570,6 +793,27 @@ def oracle_sql() -> dict[str, str]:
         "chain_components": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id "
             "FROM documents"
+        ),
+        "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
+        "seqratio_chars": _indel_cte_sql(20, "seqratio"),
+        "setratio_chars": _setratio_chars_sql(16),
+        "simhash_md5_pairs": _simhash_md5_sql(max_hamming=3, n_bits=32),
+        "minhash_md5_pairs": _minhash_md5_sql(_minhash_perms(), rows_per_band=2),
+        "ivf_topk_exact": (
+            # exact brute-force cosine top-k INCLUDING the self-match (IVF
+            # with nprobe == nlist must reproduce it bit-for-bit at 3 dp)
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "round(list_sum(list_transform(list_zip(cvec, qvec), "
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+            "/ (sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+            "* sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) "
+            "AS cosine FROM c CROSS JOIN q) "
+            "SELECT query_id, neighbor_id, cosine, rank FROM ("
+            "SELECT query_id, neighbor_id, cosine, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "FROM s) WHERE rank <= 3"
         ),
         "event_sessions": (
             "WITH g AS (SELECT user_id, event_id, "

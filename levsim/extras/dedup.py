@@ -213,6 +213,138 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# SQL-algebra sketches (pure column expressions — zero Python, whole-stage
+# codegen end to end, and exactly reproducible in ANSI SQL, so the DuckDB
+# harness can hard-oracle the banding/join semantics cross-engine)
+# ---------------------------------------------------------------------------
+
+#: modulus shared with the ANSI-SQL oracles (2^31 - 1, Mersenne prime)
+SQL_SKETCH_P = 2147483647
+
+
+def md5_token_hash_col(tok) -> F.Column:
+    """60-bit integer hash of a token: first 15 hex chars of md5, exactly
+    reproducible in DuckDB (md5 is the one hash both engines share)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def _sql_tokens_col(text_col) -> F.Column:
+    """Non-empty single-space tokens — mirrors string_split + list_filter."""
+    return F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+
+
+def simhash_sql_col(text_col, n_bits: int = 32) -> F.Column:
+    """``n_bits``-bit SimHash as a pure column expression: md5 token hashes,
+    per-bit +/-1 votes over the token multiset, sign bits packed into a
+    BIGINT.  One md5 per token; the per-bit votes are ``n_bits`` JVM
+    aggregates over the hash array (no Python, no shuffle)."""
+    harr = F.transform(_sql_tokens_col(text_col), md5_token_hash_col)
+
+    def _vote(b: int) -> F.Column:
+        return F.aggregate(
+            harr,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sig = sig + F.when(_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_sql_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, n_bits: int = 32) -> DataFrame:
+    """Exactly the pairs with simhash hamming <= max_hamming, computed with
+    pure column algebra end to end: signature -> ``max_hamming + 1`` band
+    keys (pigeonhole recall contract, see :func:`simhash_band_bounds`) ->
+    band equi-join -> bit_count verification.  Cross-engine oracle: an
+    all-pairs DuckDB join filtered on the same hamming predicate must yield
+    the identical pair set."""
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    simhash_sql_col(F.col(text_col), n_bits).alias("sh"))
+    bands = sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"),
+                     F.shiftright(F.col("sh"), off)
+                     .bitwiseAND(F.lit((1 << w) - 1)).cast("string"))
+            for i, (off, w) in enumerate(simhash_band_bounds(max_hamming, n_bits))
+        ])).alias("band_key"),
+    )
+    a = bands.select("band_key", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = bands.select("band_key", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming_bits", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming_bits") <= max_hamming)
+        .select("id_a", "id_b", "hamming_bits")
+    )
+
+
+def word_shingles_col(text_col, k: int = 2) -> F.Column:
+    """Word k-shingles as strings (tokens joined by one space); documents
+    with fewer than k tokens fall back to their token list."""
+    toks = _sql_tokens_col(text_col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, joined).otherwise(toks)
+
+
+def minhash_sql_sigs(df: DataFrame, id_col: str, text_col: str,
+                     perms, shingle_k: int = 2) -> DataFrame:
+    """MinHash signature columns ``s0..s{n-1}`` from md5 shingle hashes and
+    affine permutations ``(a*h + c) mod P`` — pure column algebra, exactly
+    reproducible in SQL.  ``perms`` is a list of (a, c) pairs with
+    0 < a < P, 0 <= c < P.  Empty docs get lane value P - 1."""
+    sh = word_shingles_col(F.col(text_col), shingle_k)
+    hmod = F.transform(sh, lambda s: md5_token_hash_col(s) % F.lit(SQL_SKETCH_P))
+
+    def _lane(a: int, c: int) -> F.Column:
+        return F.array_min(F.transform(
+            hmod, lambda h: (F.lit(a).cast("long") * h + F.lit(c)) % F.lit(SQL_SKETCH_P)
+        ))
+
+    cols = [F.col(id_col).alias("doc_id")]
+    for i, (a, c) in enumerate(perms):
+        cols.append(F.coalesce(_lane(a, c), F.lit(SQL_SKETCH_P - 1)).alias(f"s{i}"))
+    return df.select(*cols)
+
+
+def minhash_sql_pairs(df: DataFrame, id_col: str, text_col: str,
+                      perms, rows_per_band: int = 2, shingle_k: int = 2) -> DataFrame:
+    """LSH candidate pairs from SQL-algebra MinHash: pairs sharing at least
+    one full band of ``rows_per_band`` signature lanes (id_a < id_b).  The
+    DuckDB oracle re-derives the identical set with an all-pairs join and a
+    per-band equality disjunction."""
+    n_perm = len(perms)
+    n_bands = n_perm // rows_per_band
+    sigs = minhash_sql_sigs(df, id_col, text_col, perms, shingle_k)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(bi)),
+                        *[F.col(f"s{bi * rows_per_band + r}").cast("string")
+                          for r in range(rows_per_band)]).alias("k")
+            for bi in range(n_bands)
+        ])).alias("band_key"),
+    )
+    a = bands.select("band_key", F.col("doc_id").alias("id_a"))
+    b = bands.select("band_key", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram / token Jaccard (pure built-ins -> SQL-oracle-able)
 # ---------------------------------------------------------------------------
 

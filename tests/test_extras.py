@@ -208,3 +208,62 @@ def test_frame_sample_plan(spark):
     # videos have duration 3000ms -> timestamps 0,1000,2000,3000 = 4 frames
     assert all(r["count"] == 4 for r in got)
     assert len(got) == 3  # every third row is video
+
+
+def test_simhash_sql_pairs_exact_set(spark, docs):
+    """SQL-algebra simhash: banded join emits EXACTLY the hamming<=k set."""
+    sigs = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dedup.simhash_sql_col(F.col("text"), 32).alias("sh")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    for k in (0, 3):
+        want = {
+            (a, b)
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_sql_pairs(docs, "doc_id", "text",
+                                             max_hamming=k, n_bits=32).collect()
+        }
+        assert got == want
+
+
+def test_minhash_sql_pairs_exact_set(spark, docs):
+    """SQL-algebra minhash LSH: emitted set == brute-force band equality."""
+    perms = [(3, 11), (5, 7), (17, 23), (29, 1)]
+    sigs = {
+        r.doc_id: (r.s0, r.s1, r.s2, r.s3)
+        for r in dedup.minhash_sql_sigs(docs, "doc_id", "text", perms).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if sigs[a][0:2] == sigs[b][0:2] or sigs[a][2:4] == sigs[b][2:4]
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_sql_pairs(docs, "doc_id", "text", perms,
+                                         rows_per_band=2).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # identical texts share every band
+
+
+def test_word_shingles_edge_cases(spark):
+    rows = [(1, "a b c"), (2, "single"), (3, ""), (4, "  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", dedup.word_shingles_col(F.col("text"), 2).alias("sh")
+        ).collect()
+    }
+    assert got[1] == ["a b", "b c"]
+    assert got[2] == ["single"]
+    assert got[3] == [] and got[4] == []
