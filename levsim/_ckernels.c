@@ -199,6 +199,51 @@ void batch_lev(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const 
     free(bufs);
 }
 
+/* score_hint adaptive banding (reference __init__.py:89-91,110-115): run
+ * the banded DP with band = hint, doubling on failure until the result fits
+ * the band or the band reaches the cutoff / full matrix width.  Returns are
+ * IDENTICAL to batch_lev (property-tested); near-match long pairs with a
+ * good hint stay in the O(band*len) banded DP instead of the wide Myers
+ * pass. */
+void batch_lev_hint(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                    int64_t npairs, int64_t cutoff, int64_t hint, int64_t *out)
+{
+    int64_t maxn = 0;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t ln = ob[i + 1] - ob[i];
+        if (ln > maxn) maxn = ln;
+        ln = oa[i + 1] - oa[i];
+        if (ln > maxn) maxn = ln;
+    }
+    int64_t *row = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t W = maxn / 64 + 2;
+    uint64_t *bufs = (uint64_t *)malloc((size_t)(5 * W) * sizeof(uint64_t));
+    for (int64_t i = 0; i < npairs; i++) {
+        const uint32_t *a = ca + oa[i];
+        const uint32_t *b = cb + ob[i];
+        int64_t m = oa[i + 1] - oa[i], n = ob[i + 1] - ob[i];
+        int64_t diff = m > n ? m - n : n - m;
+        if (cutoff >= 0 && diff > cutoff) { out[i] = cutoff + 1; continue; }
+        int64_t full = m > n ? m : n; /* unit-cost distance upper bound */
+        int64_t band = hint > diff ? hint : diff; /* band < |m-n| is useless */
+        if (band < 1) band = 1;
+        for (;;) {
+            int64_t lim = band;
+            if (cutoff >= 0 && lim > cutoff) lim = cutoff;
+            int64_t d = (lim < 64)
+                ? lev_one(a, m, b, n, lim, row)
+                : myers_one(a, m, b, n, lim,
+                            bufs, bufs + W, bufs + 2 * W, bufs + 3 * W, bufs + 4 * W);
+            if (d <= lim) { out[i] = d; break; }          /* exact within band */
+            if (cutoff >= 0 && lim >= cutoff) { out[i] = cutoff + 1; break; }
+            band *= 2;
+            if (band > full) band = full; /* full band: next pass is exact */
+        }
+    }
+    free(row);
+    free(bufs);
+}
+
 /* ------------- generalized weighted Levenshtein (full DP) ------------- */
 
 static int64_t levw_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,

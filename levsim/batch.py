@@ -73,14 +73,25 @@ def batch_distance(
     b: Sequence[Optional[str]],
     score_cutoff: Optional[int] = None,
     weights: Tuple[int, int, int] = (1, 1, 1),
+    score_hint: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Levenshtein distance per pair -> (int64 values, null mask)."""
+    """Levenshtein distance per pair -> (int64 values, null mask).
+
+    ``score_hint`` (reference ``__init__.py:89-91``) selects the adaptive
+    band-doubling kernel: start at band = hint, double on failure.  Results
+    are identical with or without the hint (property-tested); it is purely
+    a performance knob for near-match pairs."""
     import ctypes
 
     n = len(a)
     if weights == (1, 1, 1):
-        res = _call_c("batch_lev", a, b,
-                      extra=(ctypes.c_int64(-1 if score_cutoff is None else score_cutoff),))
+        if score_hint is not None:
+            res = _call_c("batch_lev_hint", a, b,
+                          extra=(ctypes.c_int64(-1 if score_cutoff is None else score_cutoff),
+                                 ctypes.c_int64(max(int(score_hint), 0))))
+        else:
+            res = _call_c("batch_lev", a, b,
+                          extra=(ctypes.c_int64(-1 if score_cutoff is None else score_cutoff),))
         if res is not None:
             return res
     else:

@@ -105,9 +105,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.batch_minhash.argtypes = [U32, I64, ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, U64, U64, U64]
     lib.batch_simhash.argtypes = [U32, I64, ctypes.c_int64, I64]
+    lib.batch_lev_hint.argtypes = [U32, I64, U32, I64, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64, I64]
     for fn in ("batch_lev", "batch_lev_weighted", "batch_indel", "batch_jaro",
                "batch_jaro_winkler", "batch_hamming", "batch_minhash",
-               "batch_simhash"):
+               "batch_simhash", "batch_lev_hint"):
         getattr(lib, fn).restype = None
     _lib = lib
     return _lib

@@ -147,7 +147,10 @@ def distance(
 
     ``score_cutoff``: if the distance exceeds it, ``score_cutoff + 1`` is
     returned instead (``__init__.py:84-88``).  ``score_hint`` is a
-    performance hint only and does not change results.
+    performance hint only and does not change results; the scalar kernel
+    ignores it (already exact), while the batch/C path
+    (``levsim.batch.batch_distance``) uses it for adaptive band doubling
+    (reference ``__init__.py:89-91,110-115``).
     """
     del score_hint
     s1, s2 = _apply_processor(processor, s1, s2)

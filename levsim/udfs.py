@@ -46,14 +46,16 @@ def _once(udf):
     return udf.asNondeterministic()
 
 
-def lev_distance_udf(score_cutoff: Optional[int] = None, weights: Tuple[int, int, int] = (1, 1, 1)):
+def lev_distance_udf(score_cutoff: Optional[int] = None, weights: Tuple[int, int, int] = (1, 1, 1),
+                     score_hint: Optional[int] = None):
     """Levenshtein distance column; reference cutoff semantics
-    (``__init__.py:84-88``: > cutoff -> cutoff+1)."""
+    (``__init__.py:84-88``: > cutoff -> cutoff+1).  ``score_hint`` enables
+    the adaptive band-doubling kernel (perf only, identical results)."""
 
     @pandas_udf(LongType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
         vals, nulls = batch.batch_distance(a.tolist(), b.tolist(), score_cutoff=score_cutoff,
-                                           weights=weights)
+                                           weights=weights, score_hint=score_hint)
         return _mask(vals, nulls, "Int64")
 
     return _once(_udf)

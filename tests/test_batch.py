@@ -96,3 +96,32 @@ def test_python_fallback_identical(monkeypatch):
     gr, _ = batch.batch_ratio(a, b)
     er = [K.ratio(x, y) for x, y in sub]
     np.testing.assert_allclose(gr, er, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("cutoff", [None, 0, 3, 64, 500])
+@pytest.mark.parametrize("hint", [0, 1, 2, 8, 63, 64, 1000])
+def test_batch_distance_score_hint_identity(cutoff, hint):
+    """score_hint is perf-only: band-doubling results must be IDENTICAL to
+    the no-hint kernel for every (cutoff, hint) combination — including
+    hints far below and far above the true distance."""
+    got, nulls = batch.batch_distance(A, B, score_cutoff=cutoff, score_hint=hint)
+    assert not nulls.any()
+    exp, _ = batch.batch_distance(A, B, score_cutoff=cutoff)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_batch_distance_score_hint_long_near_matches():
+    """Long near-match pairs (the case the hint exists for): identical
+    results at L=2048 with a tight hint."""
+    base = "".join(rng.choice("abcdefgh") for _ in range(2048))
+    pairs = []
+    for k in (0, 1, 3, 10, 40):
+        mutated = list(base)
+        for _ in range(k):
+            mutated[rng.randrange(len(mutated))] = rng.choice("xyz")
+        pairs.append((base, "".join(mutated)))
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got, _ = batch.batch_distance(a, b, score_hint=4)
+    exp, _ = batch.batch_distance(a, b)
+    np.testing.assert_array_equal(got, exp)
