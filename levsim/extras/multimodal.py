@@ -130,6 +130,87 @@ def image_features(pixels: np.ndarray) -> np.ndarray:
     return out
 
 
+# --- real WAV codec (pure NumPy; RIFF/PCM 16-bit) ---------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """mono float samples in [-1, 1] -> 16-bit PCM WAV bytes."""
+    import struct
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).round().astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """16-bit PCM mono/stereo WAV bytes -> (sample_rate, float samples in
+    [-1, 1]); stereo is averaged to mono.  Walks RIFF chunks, so extra
+    chunks (LIST, fact, ...) are tolerated."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos: pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV variant (fmt={audio_fmt}, bits={bits})")
+    x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return rate, x
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM floats from real samples: log duration, RMS,
+    zero-crossing rate, peak (4) + RMS over 12 equal time slices."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = max(len(x), 1)
+    zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / n if len(x) > 1 else 0.0
+    head = [np.log1p(n / max(rate, 1)) / 8.0,
+            float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+            zc,
+            float(np.abs(x).max()) if len(x) else 0.0]
+    slices = np.empty(FEATURE_DIM - 4, dtype=np.float64)
+    for i in range(len(slices)):
+        seg = x[i * n // len(slices): max((i + 1) * n // len(slices), i * n // len(slices) + 1)]
+        slices[i] = np.sqrt(np.mean(seg**2)) if len(seg) else 0.0
+    out = np.concatenate([head, slices]).astype(np.float32)
+    assert out.shape == (FEATURE_DIM,)
+    return out
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """FEATURE_DIM feature vector for an encoded audio payload.  Real path:
+    16-bit PCM WAV via the pure-NumPy RIFF parser; other codecs need libs
+    absent here (fake=True for the deterministic double)."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_features(*decode_wav(payload))
+    if fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "non-WAV audio decoding requires an audio library not present in "
+        "this environment; pass fake=True for the deterministic test double"
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """FEATURE_DIM feature vector for an encoded image payload.
 
@@ -157,17 +238,19 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
     bytes-per-batch, not rows-per-batch)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoders = {"image": decode_image, "audio": decode_audio}
         for pdf in batches:
             for lo in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[lo: lo + batch_limit]
                 feats = []
                 shas = []
                 nbytes = []
-                for payload in chunk["payload"]:
+                for payload, kind in zip(chunk["payload"], chunk["kind"]):
                     b = bytes(payload) if payload is not None else b""
                     nbytes.append(len(b))
                     shas.append(hashlib.sha256(b).hexdigest())
-                    feats.append(decode_image(b, fake=fake_decode).tolist())
+                    dec = decoders.get(kind, decode_image)
+                    feats.append(dec(b, fake=fake_decode).tolist())
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].values,
@@ -197,22 +280,24 @@ def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic media table for tests: REAL payloads where the codec
+    exists (BMP images, PCM WAV audio — both decode for real, no fake flag)
+    and opaque bytes for video (decode stays stubbed)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.randint(0, 256, size=64 + (i % 128), dtype=np.uint8).tolist())
-        rows.append(
-            (
-                i,
-                kind,
-                payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 if kind == "image" else None,
-                48 if kind == "image" else None,
-                3000 if kind == "video" else None,
-            )
-        )
+        if kind == "image":
+            px = rng.randint(0, 256, size=(8 + i % 5, 6 + i % 7, 3), dtype=np.uint8)
+            payload = encode_bmp(px)
+            mime, w, h, dur = "image/bmp", px.shape[1], px.shape[0], None
+        elif kind == "audio":
+            t = np.arange(400 + 40 * (i % 8)) / 8000.0
+            payload = encode_wav(np.sin(2 * np.pi * (200 + 20 * i) * t) * 0.7)
+            mime, w, h, dur = "audio/wav", None, None, int(len(t) / 8)
+        else:
+            payload = bytes(rng.randint(0, 256, size=64 + (i % 128), dtype=np.uint8).tolist())
+            mime, w, h, dur = "video/mp4", None, None, 3000
+        rows.append((i, kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

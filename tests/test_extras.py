@@ -318,3 +318,31 @@ def test_real_bmp_feature_extraction(spark):
         got = np.array(feats[i], dtype=np.float32)
         np.testing.assert_array_equal(got, want)
         assert np.isfinite(got).all() and (np.abs(got) <= 1.5).all()
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    t = np.arange(1600) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t) * 0.5
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(x, 8000))
+    assert rate == 8000
+    np.testing.assert_allclose(back, x, atol=1.0 / 32767)
+    feats = multimodal.decode_audio(multimodal.encode_wav(x, 8000))
+    assert feats.shape == (multimodal.FEATURE_DIM,)
+    assert abs(feats[1] - 0.5 / np.sqrt(2)) < 0.01  # RMS of a 0.5 sine
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE" + b"\0" * 40)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xff\xf1 not riff" * 8)
+
+
+def test_synthetic_media_real_decode(spark):
+    """Default fixture now carries REAL BMP/WAV payloads: image and audio
+    rows decode for real even with fake_decode=False (video would raise,
+    so restrict to the real-codec kinds)."""
+    media = multimodal.synthetic_media(spark, n=30).where(F.col("kind") != "video")
+    rows = multimodal.extract_features(media, fake_decode=False).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.feature) == multimodal.FEATURE_DIM
