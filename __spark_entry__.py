@@ -451,6 +451,28 @@ def q_minhash_md5_pairs(spark, sf_dir):
                              rows_per_band=2, shingle_k=2)
 
 
+def q_char_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard over blocked pairs (near-dup metric robust
+    to in-word edits) — pure column algebra, hard DuckDB oracle.  Emits the
+    EXACT integer numerator/denominator instead of a rounded float: 3-gram
+    set sizes are often powers of two, where inter/union is an exact binary
+    double with a .5 tie at the 6th decimal and the engines' rounding rules
+    diverge.  The threshold is the equivalent integer predicate."""
+    from levsim.extras.dedup import char_ngrams_col
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        char_ngrams_col(F.col("text_a"), 3).alias("ga"),
+        char_ngrams_col(F.col("text_b"), 3).alias("gb"),
+    )
+    p = p.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("ga", "gb")).cast("long").alias("n_inter"),
+        F.size(F.array_union("ga", "gb")).cast("long").alias("n_union"),
+    )
+    return p.where(F.col("n_inter") * 100 >= F.col("n_union") * 15)
+
+
 def q_ivf_topk_exact(spark, sf_dir):
     """IVF with nprobe == nlist probes every cell, so the result must equal
     exact brute-force top-k — a hard cross-engine check of the IVF
@@ -548,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setratio_chars": q_setratio_chars,
         "simhash_md5_pairs": q_simhash_md5_pairs,
         "minhash_md5_pairs": q_minhash_md5_pairs,
+        "char_ngram_jaccard": q_char_ngram_jaccard,
         "ivf_topk_exact": q_ivf_topk_exact,
     }
 
@@ -797,6 +820,21 @@ def oracle_sql() -> dict[str, str]:
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "seqratio_chars": _indel_cte_sql(20, "seqratio"),
         "setratio_chars": _setratio_chars_sql(16),
+        "char_ngram_jaccard": (
+            "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.text AS ta, b.text AS tb FROM documents a JOIN documents b "
+            "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+            "g AS (SELECT id_a, id_b, "
+            "list_distinct(list_transform(generate_series(1, greatest(length(ta) - 2, 0)), "
+            "i -> substr(ta, i, 3))) AS ga, "
+            "list_distinct(list_transform(generate_series(1, greatest(length(tb) - 2, 0)), "
+            "i -> substr(tb, i, 3))) AS gb FROM p) "
+            "SELECT id_a, id_b, "
+            "CAST(len(list_intersect(ga, gb)) AS BIGINT) AS n_inter, "
+            "CAST(len(list_distinct(list_concat(ga, gb))) AS BIGINT) AS n_union "
+            "FROM g WHERE len(list_intersect(ga, gb)) * 100 >= "
+            "len(list_distinct(list_concat(ga, gb))) * 15"
+        ),
         "simhash_md5_pairs": _simhash_md5_sql(max_hamming=3, n_bits=32),
         "minhash_md5_pairs": _minhash_md5_sql(_minhash_perms(), rows_per_band=2),
         "ivf_topk_exact": (

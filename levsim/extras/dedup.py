@@ -376,6 +376,31 @@ def token_jaccard_col(text_a, text_b) -> F.Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
 
 
+def char_ngrams_col(text_col, n: int = 3) -> F.Column:
+    """Distinct character n-grams as a pure column expression (texts shorter
+    than n yield an empty set — the when-guard matters because Spark's
+    sequence(1, 0) DESCENDS instead of returning empty)."""
+    t = text_col if isinstance(text_col, F.Column) else F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(
+        F.when(F.length(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def char_ngram_jaccard_col(text_a, text_b, n: int = 3) -> F.Column:
+    """Jaccard similarity of distinct character-n-gram sets — the
+    shingle-level near-dup metric (token Jaccard misses reorder-free edits
+    inside words); fully SQL-expressible, so DuckDB-oracle-able."""
+    ga = char_ngrams_col(text_a, n)
+    gb = char_ngrams_col(text_b, n)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(F.array_union(ga, gb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+
+
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_col: str, tau: float = 0.8) -> DataFrame:
     """Within-block token-Jaccard near-dup pairs (SQL-expressible end to end)."""

@@ -346,3 +346,19 @@ def test_synthetic_media_real_decode(spark):
     assert len(rows) == 20
     for r in rows:
         assert len(r.feature) == multimodal.FEATURE_DIM
+
+
+def test_char_ngrams_edge_cases(spark):
+    rows = [(1, "abcd"), (2, "ab"), (3, ""), (4, "aaaa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: sorted(r.g)
+           for r in df.select("doc_id",
+                              dedup.char_ngrams_col(F.col("text"), 3).alias("g")).collect()}
+    assert got[1] == ["abc", "bcd"]
+    assert got[2] == []            # shorter than n (sequence-descend guard)
+    assert got[3] == []
+    assert got[4] == ["aaa"]       # distinct
+    j = df.where(F.col("doc_id") == 1).select(
+        dedup.char_ngram_jaccard_col(F.lit("abcd"), F.lit("abcde"), 3).alias("j")
+    ).collect()[0].j
+    assert abs(j - 2.0 / 3.0) < 1e-12
