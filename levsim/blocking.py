@@ -158,16 +158,32 @@ def minhash_signatures_batch(texts, n_perm: int, shingle_k: int, seed: int) -> n
     return np.stack([minhash_signature(t, n_perm, shingle_k, seed) for t in safe])
 
 
+def band_keys_batch(sigs: np.ndarray, rows_per_band: int) -> np.ndarray:
+    """(ndocs, n_perm) signatures -> (ndocs, n_bands) int64 bucket keys,
+    fully vectorized (FNV-1a fold over the band's lanes + band-index salt +
+    splitmix64 finalizer — the per-doc blake2b loop this replaces cost more
+    than the C signature computation itself).  Collisions across distinct
+    band contents only add false candidates, which the verify stage drops."""
+    ndocs, n_perm = sigs.shape
+    n_bands = n_perm // rows_per_band
+    lanes = sigs[:, : n_bands * rows_per_band].astype(np.uint64).reshape(
+        ndocs, n_bands, rows_per_band)
+    h = np.full((ndocs, n_bands), 0xCBF29CE484222325, dtype=np.uint64)
+    h ^= (np.arange(n_bands, dtype=np.uint64)[None, :] + np.uint64(1)) \
+        * np.uint64(0x9E3779B97F4A7C15)
+    FNV = np.uint64(0x100000001B3)
+    for r in range(rows_per_band):
+        h = (h ^ lanes[:, :, r]) * FNV  # uint64 wrap-around is the hash ring
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return h.view(np.int64)
+
+
 def band_keys(sig: np.ndarray, rows_per_band: int) -> List[int]:
-    """LSH band keys: hash of (band_index, band rows) -> int64."""
-    n_bands = len(sig) // rows_per_band
-    keys = []
-    for bi in range(n_bands):
-        h = hashlib.blake2b(digest_size=8)
-        h.update(bi.to_bytes(2, "little"))
-        h.update(sig[bi * rows_per_band: (bi + 1) * rows_per_band].astype("<u8").tobytes())
-        keys.append(int.from_bytes(h.digest(), "little") - (1 << 63))
-    return keys
+    """LSH band keys for one signature (scalar wrapper over the batch)."""
+    return [int(k) for k in band_keys_batch(
+        np.asarray(sig, dtype=np.uint64)[None, :], rows_per_band)[0]]
 
 
 def minhash_band_udf(n_perm: int = 64, rows_per_band: int = 4, shingle_k: int = 3,
@@ -178,9 +194,10 @@ def minhash_band_udf(n_perm: int = 64, rows_per_band: int = 4, shingle_k: int = 
     def _udf(texts: pd.Series) -> pd.Series:
         tl = texts.tolist()
         sigs = minhash_signatures_batch(tl, n_perm, shingle_k, seed)
+        keys = band_keys_batch(sigs, rows_per_band)
         out = []
-        for t, sig in zip(tl, sigs):
-            out.append(None if t is None else band_keys(sig, rows_per_band))
+        for i, t in enumerate(tl):
+            out.append(None if t is None else keys[i].tolist())
         return pd.Series(out)
 
     return _udf
