@@ -35,6 +35,27 @@ def distance_length_bound(len_a: Column, len_b: Column, cutoff: int) -> Column:
     return F.abs(len_a - len_b) <= F.lit(cutoff)
 
 
+def jaro_winkler_length_bound(len_a: Column, len_b: Column, tau: float) -> Column:
+    """TRUE iff the pair can still reach jaro_winkler >= tau (keep-predicate).
+
+    Exact bound: the Jaro match count m is at most min(l1, l2) and the
+    transposition term (m - t)/m is at most 1, so
+        jaro <= (min/l1 + min/l2 + 1) / 3.
+    jw = jaro + p*w*(1 - jaro) with p <= 4, w <= 0.25 is monotone in jaro
+    and bounded by jw <= jaro + (1 - jaro) * 1.0 ... tightened with the
+    default w = 0.1: jw <= 0.6*jaro + 0.4.  The O(l1*l2) jaro kernel is the
+    costliest scorer on long texts (VERDICT round 1: 0.8k pairs/s/core at
+    L=2048) — this column predicate prunes length-skewed pairs before the
+    Arrow crossing.  Uses the caller's prefix_weight upper bound 0.1 (the
+    reference default); pass-through pairs are still scored exactly."""
+    minl = F.least(len_a, len_b)
+    both_empty = (len_a == 0) & (len_b == 0)  # jaro('', '') == 1.0
+    one_empty = (len_a == 0) | (len_b == 0)   # else empty side -> 0.0
+    jaro_ub = (minl / len_a + minl / len_b + 1.0) / 3.0
+    jw_ub = 0.6 * jaro_ub + 0.4
+    return both_empty | (~one_empty & (jw_ub >= F.lit(tau)))
+
+
 def apply_ratio_prefilter(
     pairs: DataFrame, tau: float, len_a: str = "len_a", len_b: str = "len_b"
 ) -> DataFrame:

@@ -214,14 +214,23 @@ class SnapshotTable:
         return out
 
     def write(self, df: DataFrame, snapshot_id: str, params: Optional[dict] = None,
-              parent: Optional[str] = None) -> SnapshotInfo:
-        """Write df as a new snapshot; atomic commit via rename-into-place."""
+              parent: Optional[str] = None,
+              partition_by: Optional[List[str]] = None) -> SnapshotInfo:
+        """Write df as a new snapshot; atomic commit via rename-into-place.
+
+        ``partition_by``: hive-style partition columns (e.g. ["lang"]) —
+        the Iceberg-partitioning analog; subsequent reads with a filter on
+        these columns prune directories at planning time (PartitionFilters
+        in the scan node), the table-layout lever that matters at 100 TB."""
         final = self._snap_dir(snapshot_id)
         if self.exists(snapshot_id):
             return self._info(snapshot_id)
         tmp = tempfile.mkdtemp(prefix=f".tmp_{snapshot_id}_", dir=self.dir)
         data_dir = os.path.join(tmp, "data")
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         count = df.sparkSession.read.parquet(data_dir).count()
         manifest = {
             "snapshot_id": snapshot_id,
@@ -231,6 +240,7 @@ class SnapshotTable:
             "parent": parent,
             "params": params or {},
             "format": "parquet",
+            "partition_by": list(partition_by or []),
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)

@@ -118,3 +118,27 @@ def test_minhash_jaccard_sensitivity():
     sf_ = set(band_keys(minhash_signature(far, 64, 3, 1), 4))
     assert len(sb & sn) > 0       # near dup shares bands
     assert len(sb & sf_) == 0     # unrelated text shares none
+
+
+def test_jw_prefilter_bound_is_exact(spark):
+    """jaro_winkler_length_bound must never prune a pair that can reach tau:
+    checked against the exact kernel over length-skewed random pairs, with
+    the bound evaluated by Spark itself (column-algebra parity)."""
+    from levsim.prefilter import jaro_winkler_length_bound
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(400):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 40)))
+        b = a[: rng.randint(0, len(a))] + "".join(
+            rng.choice("abcde") for _ in range(rng.randint(0, 60)))
+        rows.append((i, a, b, K.jaro_winkler(a, b)))
+    df = spark.createDataFrame(rows, ["i", "a", "b", "jw"])
+    tau = 0.8
+    kept = df.where(jaro_winkler_length_bound(F.length("a"), F.length("b"), tau))
+    kept_ids = {r.i for r in kept.collect()}
+    for i, a, b, jw in rows:
+        if jw >= tau:
+            assert i in kept_ids, (a, b, jw)  # exact bound: no false prune
+    # and it actually prunes something on skewed pairs
+    assert len(kept_ids) < len(rows)

@@ -62,3 +62,25 @@ def test_cc_self_loops_and_dups(spark):
     comps = {r.doc_id: r.cluster_id for r in clustering.connected_components(edges).collect()}
     assert comps[1] == comps[2] == 1
     assert comps[3] == 3
+
+
+def test_snapshot_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    from levsim.tables import SnapshotTable, generate_pages
+
+    pages = generate_pages(spark, n_entities=20, partitions=4)
+    t = SnapshotTable(str(tmp_path), "pages")
+    info = t.write(pages, "snap1", partition_by=["lang"])
+    assert info.row_count == pages.count()
+    assert t.manifest("snap1")["partition_by"] == ["lang"]
+    # hive-style layout on disk
+    data_dir = os.path.join(str(tmp_path), "pages", "snap_snap1", "data")
+    assert any(d.startswith("lang=") for d in os.listdir(data_dir))
+    # planning-time partition pruning: the filtered scan reads only the
+    # matching directory (PartitionFilters in the physical plan)
+    df = t.read(spark, "snap1").where("lang = 'en'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    langs = {r.lang for r in df.select("lang").distinct().collect()}
+    assert langs == {"en"}
