@@ -10,3 +10,47 @@ tables of web pages (``levsim.tables``, ``levsim.pipeline``).
 """
 
 __version__ = "0.1.0"
+
+# Drop-in scalar API: the reference's full __all__
+# (/root/reference/src/Levenshtein/__init__.py:44-62) re-exported at package
+# level, so `from levsim import distance, ratio, median, ...` is a direct
+# substitute for `from Levenshtein import ...`.
+from .kernels import (  # noqa: E402
+    apply_edit,
+    distance,
+    editops,
+    hamming,
+    inverse,
+    jaro,
+    jaro_winkler,
+    matching_blocks,
+    median,
+    median_improve,
+    opcodes,
+    quickmedian,
+    ratio,
+    seqratio,
+    setmedian,
+    setratio,
+    subtract_edit,
+)
+
+__all__ = [
+    "quickmedian",
+    "median",
+    "median_improve",
+    "setmedian",
+    "setratio",
+    "seqratio",
+    "distance",
+    "ratio",
+    "hamming",
+    "jaro",
+    "jaro_winkler",
+    "editops",
+    "opcodes",
+    "matching_blocks",
+    "apply_edit",
+    "subtract_edit",
+    "inverse",
+]

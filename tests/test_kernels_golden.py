@@ -217,3 +217,17 @@ def test_setratio_empty_rules():
     assert K.setratio([], ["a"]) == 0.0
     assert K.setratio(["a"], []) == 0.0
     assert K.seqratio([], []) == 1.0
+
+
+def test_package_facade_matches_reference_all():
+    """`from levsim import <name>` works for the reference's entire __all__
+    (src/Levenshtein/__init__.py:44-62) — drop-in import compatibility."""
+    import levsim
+
+    ref_all = ["quickmedian", "median", "median_improve", "setmedian",
+               "setratio", "seqratio", "distance", "ratio", "hamming",
+               "jaro", "jaro_winkler", "editops", "opcodes",
+               "matching_blocks", "apply_edit", "subtract_edit", "inverse"]
+    assert levsim.__all__ == ref_all
+    assert levsim.distance("kitten", "sitting") == 3
+    assert abs(levsim.ratio("kitten", "sitting") - (1 - 5 / 13)) < 1e-12
