@@ -223,12 +223,19 @@ def q_distinct_text_stats(spark, sf_dir):
 
 
 def q_token_jaccard_pairs(spark, sf_dir):
-    from levsim.extras.dedup import token_jaccard_col
-
-    p = _pairs(spark, sf_dir).withColumn(
-        "jaccard", F.round(token_jaccard_col(F.col("text_a"), F.col("text_b")), 6)
+    """Token-set Jaccard emitted as EXACT integers (n_inter, n_union) with
+    an integer threshold predicate (inter*5 >= union <=> jaccard >= 0.2).
+    A rounded float here is a latent cross-engine flake: token-set unions
+    of exactly 128 make inter/union an exact binary double with a .5 tie
+    at the 6th decimal, where Spark (HALF_UP) and DuckDB disagree."""
+    ta = F.array_distinct(F.split("text_a", " "))
+    tb = F.array_distinct(F.split("text_b", " "))
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.size(F.array_intersect(ta, tb)).cast("long").alias("n_inter"),
+        F.size(F.array_union(ta, tb)).cast("long").alias("n_union"),
     )
-    return p.where(F.col("jaccard") >= 0.2).select("id_a", "id_b", "jaccard")
+    return p.where(F.col("n_inter") * 5 >= F.col("n_union"))
 
 
 def q_token_stats_lang(spark, sf_dir):
@@ -247,12 +254,16 @@ def q_punct_alpha_stats(spark, sf_dir):
     from levsim.extras.textstats import alpha_ratio, punct_ratio
 
     # empty-text guard matches the oracle's WHERE length(text) > 0 (the
-    # ratios are undefined on empty text; Spark would emit 0.0 defaults)
+    # ratios are undefined on empty text; Spark would emit 0.0 defaults).
+    # Ratios are emitted as floor(ratio * 1e6) BIGINT: count/length with a
+    # length of exactly 128/256/... is a binary-exact double whose 6-decimal
+    # rounding ties — floor of c*1e6/L is tie-free (the rational is never
+    # within one ulp of an integer unless it IS one, since L <= ~600)
     d = _docs(spark, sf_dir).where(F.length("text") > 0)
     return d.select(
         "doc_id",
-        F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.floor(alpha_ratio(F.col("text")) * 1000000).cast("long").alias("alpha_ppm"),
+        F.floor(punct_ratio(F.col("text")) * 1000000).cast("long").alias("punct_ppm"),
     )
 
 
@@ -706,11 +717,13 @@ def oracle_sql() -> dict[str, str]:
         "substr(text_b, 1, least(length(text_a), length(text_b)))) "
         "+ abs(length(text_a) - length(text_b))"
     )
-    jacc = (
-        "round(len(list_intersect(list_distinct(string_split(text_a, ' ')), "
-        "list_distinct(string_split(text_b, ' ')))) * 1.0 / "
+    jacc_inter = (
+        "len(list_intersect(list_distinct(string_split(text_a, ' ')), "
+        "list_distinct(string_split(text_b, ' '))))"
+    )
+    jacc_union = (
         "len(list_distinct(list_concat(list_distinct(string_split(text_a, ' ')), "
-        "list_distinct(string_split(text_b, ' '))))), 6)"
+        "list_distinct(string_split(text_b, ' ')))))"
     )
     lang_hits = " UNION ALL ".join(
         f"SELECT doc_id, '{lang}' AS lang, {_stop_sql(lang)} AS n FROM documents"
@@ -765,7 +778,11 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang"
         ),
         "token_jaccard_pairs": _P_CTE
-        + f"SELECT id_a, id_b, {jacc} AS jaccard FROM p WHERE {jacc} >= 0.2",
+        + (
+            f"SELECT id_a, id_b, CAST({jacc_inter} AS BIGINT) AS n_inter, "
+            f"CAST({jacc_union} AS BIGINT) AS n_union FROM p "
+            f"WHERE {jacc_inter} * 5 >= {jacc_union}"
+        ),
         "token_stats_lang": (
             # CAST: DuckDB sum() over integers yields HUGEINT (surfaces as
             # float64 through the harness); Spark emits BIGINT
@@ -777,10 +794,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "punct_alpha_stats": (
             "SELECT doc_id, "
-            "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
-            "/ length(text), 6) AS alpha_ratio, "
-            "round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 "
-            "/ length(text), 6) AS punct_ratio "
+            "CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 "
+            "/ length(text)) AS BIGINT) AS alpha_ppm, "
+            "CAST(floor((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+            "* 1000000.0 / length(text)) AS BIGINT) AS punct_ppm "
             "FROM documents WHERE length(text) > 0"
         ),
         "lang_id_pred": (
