@@ -1,0 +1,88 @@
+"""Driver-contract queries vs their DuckDB oracles on an ADVERSARIAL corpus:
+empty texts (punct/alpha guard), exact jaro-winkler ties (rank alignment),
+and power-of-two token-set unions (rounding-tie hardening) — the inputs the
+production corpus happens not to contain (VERDICT round 1, items 5-7)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    return str(v)
+
+
+def _signature(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("adv"))
+    rows = [
+        # empty + whitespace-only texts in an otherwise-normal block
+        (1, "", "en", "web", 0),
+        (2, "   ", "en", "web", 3),
+        # jw tie: docs 11 and 12 are IDENTICAL, so their jw to 10 ties exactly
+        # and only the id_b tiebreak decides rank
+        (10, "alpha beta gamma delta", "en", "web", 22),
+        (11, "alpha beta gamma delt", "en", "web", 21),
+        (12, "alpha beta gamma delt", "en", "web", 21),
+        (13, "alpha beta gamma", "en", "web", 16),
+        # power-of-two token-set union: 64 + 65 distinct tokens, 1 shared
+        (20, " ".join(f"w{i}" for i in range(64)), "en", "web", 0),
+        (21, " ".join(f"w{i}" for i in range(63, 128)), "en", "web", 0),
+        # second block to exercise grouping
+        (30, "uno dos tres cuatro", "es", "web", 19),
+        (31, "uno dos tres cuatro!", "es", "web", 20),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s, _ in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # single FILE like the driver testdata (readable by Spark AND DuckDB)
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(root, "documents.parquet"))
+    return root
+
+
+@pytest.mark.parametrize("name", [
+    "punct_alpha_stats", "topk_jw_matches", "token_jaccard_pairs",
+    "jaro_winkler_pairs", "lev_ratio_trunc", "char_ngram_jaccard",
+])
+def test_adversarial_oracle_match(spark, adversarial_dir, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, adversarial_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_dir}/documents.parquet')"
+    )
+    res = con.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _signature(sdf.columns, srows) == _signature(ocols, orows)
+
+
+def test_jw_tie_rank_is_deterministic(spark, adversarial_dir):
+    got = {(r.id_a, r.id_b): r.rnk
+           for r in entrymod.queries()["topk_jw_matches"](spark, adversarial_dir).collect()}
+    # identical partners 11/12 tie on jw; id_b ascending must decide
+    assert got[(10, 11)] == 1 and got[(10, 12)] == 2
