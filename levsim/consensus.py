@@ -145,3 +145,96 @@ def elect_representatives(
                        CONSENSUS_SCHEMA)
     )
     return singles.unionByName(multi)
+
+
+_LEVEL1_SCHEMA = StructType(
+    [
+        StructField("cluster_id", StringType()),
+        StructField("_salt", LongType()),
+        StructField("rep", StringType()),
+        StructField("weight", LongType()),
+    ]
+)
+
+
+def elect_representatives_hierarchical(
+    clustered: DataFrame,
+    method: str = "quickmedian",
+    text_col: str = "norm_text",
+    id_col: str = "doc_id",
+    fanout: int = 64,
+    direct_threshold: int = 1000,
+) -> DataFrame:
+    """Two-level consensus for megaclusters (median of per-subgroup medians
+    — the docs/DESIGN.md §6 upgrade path).
+
+    Clusters larger than ``direct_threshold`` are split into ``fanout``
+    deterministic subgroups (id-hash salt); each subgroup elects a local
+    representative, then a weighted consensus over the local reps (weight =
+    subgroup size, the reference's weights-as-multiplicities semantics)
+    produces the final string.  Per-task kernel cost is bounded by the
+    subgroup size regardless of cluster size; no single task ever holds a
+    whole megacluster.  Sub-threshold clusters keep ONE subgroup, where the
+    two-level result reduces exactly to the flat election (consensus of a
+    single representative is itself — equality asserted in tests)."""
+    from pyspark.sql import functions as F
+
+    df = clustered.select(
+        F.col("cluster_id").cast("string").alias("cluster_id"),
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(text_col).alias(text_col),
+    )
+    sizes = df.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    df = df.join(sizes, "cluster_id")
+    df = df.withColumn(
+        "_salt",
+        F.when(F.col("_n") > direct_threshold,
+               F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout)).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+
+    def _level1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        texts = pdf[text_col].dropna().tolist()
+        cid = str(pdf["cluster_id"].iloc[0])
+        salt = int(pdf["_salt"].iloc[0])
+        if not texts:
+            return pd.DataFrame({"cluster_id": [cid], "_salt": [salt],
+                                 "rep": [None], "weight": [0]})
+        seen: dict = {}
+        for t in texts:
+            seen[t] = seen.get(t, 0) + 1
+        rep = _elect(method, list(seen.keys()), [float(c) for c in seen.values()])
+        return pd.DataFrame({"cluster_id": [cid], "_salt": [salt],
+                             "rep": [rep], "weight": [len(texts)]})
+
+    level1 = df.groupBy("cluster_id", "_salt").applyInPandas(_level1, _LEVEL1_SCHEMA)
+
+    def _level2(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic member order: by salt (subgroup index)
+        pdf = pdf.sort_values("_salt", kind="mergesort")
+        pdf = pdf[pdf["rep"].notna()]
+        cid = str(pdf["cluster_id"].iloc[0]) if len(pdf) else None
+        if not len(pdf):
+            return pd.DataFrame({"cluster_id": [cid], "n_members": [0],
+                                 "representative": [None]})
+        reps = pdf["rep"].tolist()
+        ws = [float(w) for w in pdf["weight"].tolist()]
+        rep = _elect(method, reps, ws)
+        return pd.DataFrame({
+            "cluster_id": [cid],
+            "n_members": [int(sum(pdf["weight"]))],
+            "representative": [rep],
+        })
+
+    return level1.groupBy("cluster_id").applyInPandas(_level2, CONSENSUS_SCHEMA)
+
+
+def _elect(method: str, texts: list, weights: list) -> str:
+    if method == "setmedian":
+        return kernels.setmedian(texts, weights)
+    if method == "quickmedian":
+        return kernels.quickmedian(texts, weights)
+    if method == "median":
+        return kernels.median(texts, weights)
+    raise ValueError(f"unknown consensus method {method!r}")

@@ -52,3 +52,48 @@ def test_median_improve_rounds(spark, clustered):
     base = sum(K.distance(K.median(members), m) for m in members)
     got = sum(K.distance(reps["c1"], m) for m in members)
     assert got <= base
+
+
+def test_hierarchical_reduces_to_flat_below_threshold(spark):
+    from levsim.consensus import elect_representatives, elect_representatives_hierarchical
+
+    rows = []
+    for cid, members in [("a", ["spam", "spa", "spams", "spam"]),
+                         ("b", ["x"]),
+                         ("c", ["kitten", "sitten", "mitten"])]:
+        for i, t in enumerate(members):
+            rows.append((f"{cid}{i}", cid, t))
+    df = spark.createDataFrame(rows, ["doc_id", "cluster_id", "norm_text"])
+    for method in ("setmedian", "quickmedian", "median"):
+        flat = {r.cluster_id: (r.representative, r.n_members)
+                for r in elect_representatives(df, method=method,
+                                               max_members=None).collect()}
+        hier = {r.cluster_id: (r.representative, r.n_members)
+                for r in elect_representatives_hierarchical(df, method=method).collect()}
+        assert flat == hier, method
+
+
+def test_hierarchical_megacluster_bounded_and_majority(spark):
+    """A 20k-member cluster never lands in one task: fanout subgroups elect
+    locally, the weighted second level recovers the dominant variant."""
+    from pyspark.sql import functions as F
+
+    from levsim.consensus import elect_representatives_hierarchical
+
+    n = 20000
+    base = spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("mega").alias("cluster_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("the canonical boilerplate page"))
+        .otherwise(F.lit("the canonical boilerplate pag3")).alias("norm_text"),
+    )
+    out = elect_representatives_hierarchical(
+        base, method="setmedian", fanout=32, direct_threshold=1000).collect()
+    assert len(out) == 1
+    assert out[0].n_members == n
+    assert out[0].representative == "the canonical boilerplate page"
+    # determinism under different physical partitioning
+    out2 = elect_representatives_hierarchical(
+        base.repartition(17), method="setmedian", fanout=32,
+        direct_threshold=1000).collect()
+    assert out2[0].representative == out[0].representative
