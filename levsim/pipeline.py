@@ -40,6 +40,10 @@ class ERConfig:
     max_block_size: int = 200
     drop_block_size: int | None = None  # stop-key removal threshold (see candidates.py)
     consensus_method: str = "setmedian"
+    # clusters larger than this use the two-level (median-of-subgroup-
+    # medians) election so no task ever holds a whole megacluster; None
+    # keeps the flat per-cluster election with its max_members sample cap
+    hierarchical_consensus_threshold: int | None = None
     blocking_passes: tuple = ("host", "minhash", "tokensort")
     id_col: str = "url"
     text_col: str = "text"
@@ -64,6 +68,7 @@ class ERConfig:
             "max_block_size": self.max_block_size,
             "drop_block_size": self.drop_block_size,
             "consensus": self.consensus_method,
+            "hier_consensus": self.hierarchical_consensus_threshold,
             "passes": list(self.blocking_passes),
         }
 
@@ -217,6 +222,12 @@ class ERPipeline:
         stages.append(r)
 
         def compute_reps():
+            if cfg.hierarchical_consensus_threshold is not None:
+                return consensus.elect_representatives_hierarchical(
+                    clusters_df, method=cfg.consensus_method,
+                    text_col="norm_text", id_col=cfg.id_col,
+                    direct_threshold=cfg.hierarchical_consensus_threshold,
+                )
             return consensus.elect_representatives(
                 clusters_df, method=cfg.consensus_method,
                 text_col="norm_text", id_col=cfg.id_col,
