@@ -82,6 +82,77 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — public).
+
+    Same contract as :func:`connected_components` (singletons absent,
+    cluster_id = component-minimum node id; equality property-tested).
+    Preferred at extreme scale / high-diameter graphs: both operations are
+    a single groupBy over node neighborhoods and the edge set converges to
+    stars rooted at the component minimum in O(log^2 n) rounds without the
+    label-side state of min-propagation.
+
+    large-star: every neighbor v > u links to min(N(u) ∪ {u})
+    small-star: every neighbor v <= u (star-oriented) links to the same min
+    """
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # node set BEFORE dropping self-loops: a node seen only in (x, x) edges
+    # is still its own singleton component (matches connected_components)
+    nodes = raw.select(F.col("s").alias("id")).union(raw.select("d")).distinct()
+    nodes = nodes.localCheckpoint()
+    e0 = raw.where(F.col("s") != F.col("d")).dropDuplicates(["s", "d"]).localCheckpoint()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.select(F.col("s").alias("u"), F.col("d").alias("v")).union(
+            e.select(F.col("d").alias("u"), F.col("s").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m"))
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("s"), F.col("m").alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .dropDuplicates(["s", "d"])
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # v <= u always
+        linked = oriented.join(mins, "u")
+        out = linked.select(F.col("v").alias("s"), F.col("m").alias("d")).union(
+            linked.select(F.col("u").alias("s"), F.col("m").alias("d")))
+        return out.where(F.col("s") != F.col("d")).dropDuplicates(["s", "d"])
+
+    e = e0
+    prev_sig = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("s", "d").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")).alias("h2"),
+        ).collect()[0]
+        if prev_sig is not None and sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is a star forest rooted at component minima: every
+    # node's label = min over (self ∪ both-direction neighbors)
+    pairs = (
+        e.select(F.col("s").alias("id"), F.col("d").alias("comp"))
+        .union(e.select(F.col("d").alias("id"), F.col("s").alias("comp")))
+        .union(nodes.select("id", F.col("id").alias("comp")))
+    )
+    labels = pairs.groupBy("id").agg(F.min("comp").alias("comp"))
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def attach_clusters(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Every doc gets a cluster_id; unmatched docs become their own cluster."""
     c = components.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else components
