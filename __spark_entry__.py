@@ -328,6 +328,37 @@ def q_chain_components(spark, sf_dir):
     )
 
 
+def q_chain_components_star(spark, sf_dir):
+    """Same path-graph worst case as chain_components, via the alternating
+    large-star/small-star algorithm (Kiveris et al.) — both distributed CC
+    implementations are held to the identical window oracle."""
+    from levsim.clustering import connected_components_star
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        d.withColumn("next_id", F.lead("doc_id").over(w))
+        .where(F.col("next_id").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("next_id").alias("id_b"))
+    )
+    comps = connected_components_star(edges)
+    return (
+        d.select("doc_id").join(comps, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def q_lev_distance_hint(spark, sf_dir):
+    """score_hint adaptive band doubling must be invisible in results: the
+    hinted kernel is checked against DuckDB's plain levenshtein — a hint
+    far below most true distances forces several doubling rounds per pair."""
+    from levsim.udfs import lev_distance_udf
+
+    return _pairs(spark, sf_dir).select(
+        "id_a", "id_b", lev_distance_udf(score_hint=4)("text_a", "text_b").alias("dist")
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-minute
     inactivity gap) — the stateful-window operator class, expressed as
@@ -571,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": q_embedding_norm,
         "cosine_topk": q_cosine_topk,
         "chain_components": q_chain_components,
+        "chain_components_star": q_chain_components_star,
+        "lev_distance_hint": q_lev_distance_hint,
         "event_sessions": q_event_sessions,
         "ivf_topk": q_ivf_topk,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -834,6 +867,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id "
             "FROM documents"
         ),
+        "chain_components_star": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id "
+            "FROM documents"
+        ),
+        "lev_distance_hint": _P_CTE
+        + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "seqratio_chars": _indel_cte_sql(20, "seqratio"),
         "setratio_chars": _setratio_chars_sql(16),
