@@ -6,6 +6,13 @@
 query; rows-only entries (ratio/median family internals, MinHash/SimHash
 hash-dependent ops) are documented inline.
 
+Oracle validity domain: DuckDB's levenshtein/jaro/jaro_winkler/hamming
+builtins count UTF-8 BYTES while the reference (and this engine) counts
+CODE POINTS — the builtin-backed oracles are exact on the (ASCII) driver
+corpus and would need the recursive-CTE form (character-based substr,
+codepoint-correct on any input) for non-ASCII data.  Executable proof:
+tests/test_entry_adversarial.py::test_duckdb_metric_builtins_are_byte_based.
+
 Float-determinism policy: every floating score emitted by a checked query is
 either (a) bit-identical between engines by construction (same IEEE double
 expression tree — fuzz-verified for jaro/jaro_winkler against DuckDB), or

@@ -86,3 +86,38 @@ def test_jw_tie_rank_is_deterministic(spark, adversarial_dir):
            for r in entrymod.queries()["topk_jw_matches"](spark, adversarial_dir).collect()}
     # identical partners 11/12 tie on jw; id_b ascending must decide
     assert got[(10, 11)] == 1 and got[(10, 12)] == 2
+
+
+def test_duckdb_metric_builtins_are_byte_based():
+    """Constraint behind the oracle design (executable documentation):
+    DuckDB's levenshtein/jaro builtins count UTF-8 BYTES, the reference and
+    our kernels count CODE POINTS ('héllo'->'hello' is 1 substitution, not
+    2).  The builtin-backed oracles are therefore valid exactly on ASCII
+    corpora (the driver testdata is ASCII); the recursive-CTE indel oracle
+    (_indel_cte_sql) uses character-based substr and stays codepoint-correct
+    on any input."""
+    import duckdb
+
+    from levsim import kernels as K
+
+    con = duckdb.connect()
+    assert K.distance("héllo", "hello") == 1
+    assert con.execute("SELECT levenshtein('héllo', 'hello')").fetchone()[0] == 2
+    # character-based primitives the CTE oracle is built from agree with
+    # codepoint semantics
+    assert con.execute("SELECT length('héllo')").fetchone()[0] == 5
+    assert con.execute("SELECT substr('héllo', 2, 1)").fetchone()[0] == "é"
+    # and the CTE itself: indel('héllo','hello') = 2 (delete é, insert e)
+    sql = (
+        "WITH RECURSIVE p AS (SELECT 1 AS id_a, 2 AS id_b, 'héllo' AS ta, 'hello' AS tb), "
+        "dp AS (SELECT id_a, id_b, ta, tb, 0 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> j) AS row FROM p "
+        "UNION ALL SELECT id_a, id_b, ta, tb, i + 1 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        "j + list_min(list_transform(generate_series(0, j), k -> "
+        "(CASE WHEN k = 0 THEN i + 1 ELSE least(row[k+1] + 1, "
+        "CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) THEN row[k] "
+        "ELSE 999999 END) END) - k))) AS row FROM dp WHERE i < length(ta)) "
+        "SELECT row[length(tb)+1] FROM dp WHERE i = length(ta)"
+    )
+    assert con.execute(sql).fetchone()[0] == 2 == K.indel_distance("héllo", "hello")
