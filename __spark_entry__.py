@@ -432,6 +432,26 @@ def q_lev_ratio_trunc(spark, sf_dir):
     )
 
 
+def q_lev_ratio_unicode(spark, sf_dir):
+    """Non-ASCII parity through the correctness gate: vowels of the 16-char
+    prefixes are translated to multi-byte code points (ä é ø ß) before
+    scoring.  DuckDB's byte-based levenshtein builtin would be WRONG here;
+    the recursive-CTE oracle uses character-based substr/translate and is
+    codepoint-correct, so a green check proves the engine's code-point
+    semantics (reference RF_UINT32) cross-engine beyond ASCII."""
+    from levsim.udfs import lev_ratio_udf
+
+    def uni(c):
+        return F.translate(F.substring(c, 1, 16), "aeos", "äéøß")
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b", uni(F.col("text_a")).alias("ta"), uni(F.col("text_b")).alias("tb")
+    )
+    return p.select(
+        "id_a", "id_b", F.round(lev_ratio_udf()("ta", "tb"), 6).alias("ratio")
+    )
+
+
 def _chars(col, n):
     return F.filter(F.split(F.substring(col, 1, n), ""), lambda x: x != F.lit(""))
 
@@ -617,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
         "lev_ratio_trunc": q_lev_ratio_trunc,
+        "lev_ratio_unicode": q_lev_ratio_unicode,
         "seqratio_chars": q_seqratio_chars,
         "setratio_chars": q_setratio_chars,
         "simhash_md5_pairs": q_simhash_md5_pairs,
@@ -626,7 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _indel_cte_sql(trunc_len: int, out_alias: str) -> str:
+def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None) -> str:
     """Recursive-CTE indel-distance DP over ``trunc_len``-char prefixes.
 
     DuckDB has no LCS/indel builtin, so the oracle runs the DP itself:
@@ -635,9 +656,15 @@ def _indel_cte_sql(trunc_len: int, out_alias: str) -> str:
     row'[j] = j + min_{k<=j} (m[k] - k) with m[0] = i+1 and
     m[k] = min(prev[k] + 1, prev[k-1] if a_i == b_k) — the same identity
     the engine's vectorized kernel uses (levsim/kernels.py prefix scan)."""
+    ta = f"substr(a.text, 1, {trunc_len})"
+    tb = f"substr(b.text, 1, {trunc_len})"
+    if translate:
+        frm, to = translate.split("/")
+        ta = f"translate({ta}, '{frm}', '{to}')"
+        tb = f"translate({tb}, '{frm}', '{to}')"
     return (
         "WITH RECURSIVE p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-        f"substr(a.text, 1, {trunc_len}) AS ta, substr(b.text, 1, {trunc_len}) AS tb "
+        f"{ta} AS ta, {tb} AS tb "
         "FROM documents a JOIN documents b "
         "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
         "dp AS ("
@@ -881,6 +908,8 @@ def oracle_sql() -> dict[str, str]:
         "lev_distance_hint": _P_CTE
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
+        "lev_ratio_unicode": _indel_cte_sql(
+            16, "ratio", translate="aeos/äéøß"),
         "seqratio_chars": _indel_cte_sql(20, "seqratio"),
         "setratio_chars": _setratio_chars_sql(16),
         "char_ngram_jaccard": (
