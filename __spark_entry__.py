@@ -452,6 +452,22 @@ def q_lev_ratio_unicode(spark, sf_dir):
     )
 
 
+def q_hamming_unicode(spark, sf_dir):
+    """Hamming with pad semantics on multi-byte code points.  The DuckDB
+    hamming builtin is byte-based, so the oracle is a character-based
+    position scan (substr comparisons + length-diff padding) — exact for
+    any input."""
+    from levsim.udfs import lev_hamming_udf
+
+    def uni(c):
+        return F.translate(F.substring(c, 1, 24), "aeos", "äéøß")
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b", uni(F.col("text_a")).alias("ta"), uni(F.col("text_b")).alias("tb")
+    )
+    return p.select("id_a", "id_b", lev_hamming_udf()("ta", "tb").alias("ham"))
+
+
 def _chars(col, n):
     return F.filter(F.split(F.substring(col, 1, n), ""), lambda x: x != F.lit(""))
 
@@ -638,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqratio_groups": q_seqratio_groups,
         "lev_ratio_trunc": q_lev_ratio_trunc,
         "lev_ratio_unicode": q_lev_ratio_unicode,
+        "hamming_unicode": q_hamming_unicode,
         "seqratio_chars": q_seqratio_chars,
         "setratio_chars": q_setratio_chars,
         "simhash_md5_pairs": q_simhash_md5_pairs,
@@ -910,6 +927,17 @@ def oracle_sql() -> dict[str, str]:
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "lev_ratio_unicode": _indel_cte_sql(
             16, "ratio", translate="aeos/äéøß"),
+        "hamming_unicode": (
+            "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "translate(substr(a.text, 1, 24), 'aeos', 'äéøß') AS ta, "
+            "translate(substr(b.text, 1, 24), 'aeos', 'äéøß') AS tb "
+            "FROM documents a JOIN documents b "
+            "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, CAST(coalesce(list_sum(list_transform("
+            "generate_series(1, least(length(ta), length(tb))), i -> "
+            "CASE WHEN substr(ta, i, 1) = substr(tb, i, 1) THEN 0 ELSE 1 END)), 0) "
+            "+ abs(length(ta) - length(tb)) AS BIGINT) AS ham FROM p"
+        ),
         "seqratio_chars": _indel_cte_sql(20, "seqratio"),
         "setratio_chars": _setratio_chars_sql(16),
         "char_ngram_jaccard": (
