@@ -468,6 +468,71 @@ def q_hamming_unicode(spark, sf_dir):
     return p.select("id_a", "id_b", lev_hamming_udf()("ta", "tb").alias("ham"))
 
 
+def q_jaro_unicode(spark, sf_dir):
+    """Jaro on multi-byte code points — the byte-based builtin cannot serve
+    as the oracle here, so the oracle runs the ENTIRE Jaro algorithm in SQL:
+    a recursive CTE performs the greedy leftmost-unused window match with
+    the used-positions set as a BIGINT bitmask (24-char prefixes), then
+    counts transpositions positionally.  Exact vs the kernel (prototyped:
+    0 mismatches on all blocked pairs); the float combine mirrors the
+    kernel's expression order so the doubles are bit-identical."""
+    from levsim.udfs import lev_jaro_udf
+
+    def uni(c):
+        return F.translate(F.substring(c, 1, 24), "aeos", "äéøß")
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b", uni(F.col("text_a")).alias("ta"), uni(F.col("text_b")).alias("tb")
+    )
+    return p.select(
+        "id_a", "id_b", F.round(lev_jaro_udf()("ta", "tb"), 6).alias("jaro")
+    )
+
+
+_JARO_UNICODE_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         translate(substr(a.text, 1, 24), 'aeos', 'äéøß') AS ta,
+         translate(substr(b.text, 1, 24), 'aeos', 'äéøß') AS tb
+  FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+dims AS (
+  SELECT id_a, id_b, ta, tb, length(ta) AS la, length(tb) AS lb,
+         CASE WHEN greatest(length(ta), length(tb)) // 2 > 0
+              THEN greatest(length(ta), length(tb)) // 2 - 1 ELSE 0 END AS b
+  FROM p),
+mt AS (
+  SELECT id_a, id_b, ta, tb, la, lb, b, 0 AS i,
+         CAST(0 AS BIGINT) AS mask, '' AS m1 FROM dims
+  UNION ALL
+  SELECT id_a, id_b, ta, tb, la, lb, b, i + 1 AS i,
+    CASE WHEN js IS NULL THEN mask ELSE mask | (CAST(1 AS BIGINT) << (js - 1)) END AS mask,
+    CASE WHEN js IS NULL THEN m1 ELSE m1 || substr(ta, i + 1, 1) END AS m1
+  FROM (
+    SELECT *, list_min(list_filter(
+        generate_series(greatest(1, (i + 1) - b), least(lb, (i + 1) + b)),
+        j -> substr(tb, j, 1) = substr(ta, i + 1, 1) AND ((mask >> (j - 1)) & 1) = 0
+      )) AS js
+    FROM mt WHERE i < la) s
+),
+fin AS (
+  SELECT id_a, id_b, la, lb, m1,
+    length(m1) AS m,
+    list_aggregate(list_transform(generate_series(1, lb),
+      j -> CASE WHEN ((mask >> (j - 1)) & 1) = 1 THEN substr(tb, j, 1) ELSE '' END),
+      'string_agg', '') AS m2
+  FROM mt WHERE i = la)
+SELECT id_a, id_b,
+  CASE WHEN la = 0 AND lb = 0 THEN 1.0
+       WHEN la = 0 OR lb = 0 OR m = 0 THEN 0.0
+       ELSE round((m * 1.0 / la + m * 1.0 / lb
+            + (m - (len(list_filter(generate_series(1, m),
+                 k -> substr(m1, k, 1) != substr(m2, k, 1))) // 2)) * 1.0 / m) / 3.0, 6)
+  END AS jaro
+FROM fin
+"""
+
+
 def _chars(col, n):
     return F.filter(F.split(F.substring(col, 1, n), ""), lambda x: x != F.lit(""))
 
@@ -655,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_ratio_trunc": q_lev_ratio_trunc,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
+        "jaro_unicode": q_jaro_unicode,
         "seqratio_chars": q_seqratio_chars,
         "setratio_chars": q_setratio_chars,
         "simhash_md5_pairs": q_simhash_md5_pairs,
@@ -927,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "lev_ratio_unicode": _indel_cte_sql(
             16, "ratio", translate="aeos/äéøß"),
+        "jaro_unicode": _JARO_UNICODE_SQL,
         "hamming_unicode": (
             "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "translate(substr(a.text, 1, 24), 'aeos', 'äéøß') AS ta, "
