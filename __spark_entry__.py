@@ -532,6 +532,50 @@ SELECT id_a, id_b,
 FROM fin
 """
 
+# jaro-winkler on the same CTE: unrounded jaro, prefix run of <= 4 equal
+# leading code points (CASE cascade stops at the first mismatch; the
+# least(la,lb) guards stop '' = '' beyond either string), boost mirrored
+# in the kernel's expression order (sim + pfx*0.1*(1.0-sim), only > 0.7)
+_JW_UNICODE_SQL = _JARO_UNICODE_SQL.replace('ORDER BY', 'NEVERMATCHES').rsplit("SELECT id_a, id_b,", 1)[0] + """
+, jr AS (
+  SELECT id_a, id_b, ta, tb, la, lb,
+    CASE WHEN la = 0 AND lb = 0 THEN 1.0
+         WHEN la = 0 OR lb = 0 OR m = 0 THEN 0.0
+         ELSE (m * 1.0 / la + m * 1.0 / lb
+              + (m - (len(list_filter(generate_series(1, m),
+                   k -> substr(m1, k, 1) != substr(m2, k, 1))) // 2)) * 1.0 / m) / 3.0
+    END AS j
+  FROM (SELECT f.*, d2.ta, d2.tb FROM fin f JOIN dims d2 USING (id_a, id_b)) ff),
+pf AS (
+  SELECT id_a, id_b, j,
+    CASE WHEN least(la, lb) < 1 OR substr(ta, 1, 1) != substr(tb, 1, 1) THEN 0
+         WHEN least(la, lb) < 2 OR substr(ta, 2, 1) != substr(tb, 2, 1) THEN 1
+         WHEN least(la, lb) < 3 OR substr(ta, 3, 1) != substr(tb, 3, 1) THEN 2
+         WHEN least(la, lb) < 4 OR substr(ta, 4, 1) != substr(tb, 4, 1) THEN 3
+         ELSE 4 END AS pfx
+  FROM jr)
+SELECT id_a, id_b,
+  round(CASE WHEN j > 0.7 THEN j + pfx * 0.1 * (1.0 - j) ELSE j END, 6) AS jw
+FROM pf
+"""
+
+
+def q_jaro_winkler_unicode(spark, sf_dir):
+    """Jaro-Winkler on multi-byte code points: the jaro CTE oracle plus the
+    prefix boost (<= 4 leading code points, applied only above 0.7),
+    combined in the kernel's exact float expression order."""
+    from levsim.udfs import lev_jaro_winkler_udf
+
+    def uni(c):
+        return F.translate(F.substring(c, 1, 24), "aeos", "äéøß")
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b", uni(F.col("text_a")).alias("ta"), uni(F.col("text_b")).alias("tb")
+    )
+    return p.select(
+        "id_a", "id_b", F.round(lev_jaro_winkler_udf()("ta", "tb"), 6).alias("jw")
+    )
+
 
 def _chars(col, n):
     return F.filter(F.split(F.substring(col, 1, n), ""), lambda x: x != F.lit(""))
@@ -721,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
         "jaro_unicode": q_jaro_unicode,
+        "jaro_winkler_unicode": q_jaro_winkler_unicode,
         "seqratio_chars": q_seqratio_chars,
         "setratio_chars": q_setratio_chars,
         "simhash_md5_pairs": q_simhash_md5_pairs,
@@ -994,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "lev_ratio_unicode": _indel_cte_sql(
             16, "ratio", translate="aeos/äéøß"),
         "jaro_unicode": _JARO_UNICODE_SQL,
+        "jaro_winkler_unicode": _JW_UNICODE_SQL,
         "hamming_unicode": (
             "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "translate(substr(a.text, 1, 24), 'aeos', 'äéøß') AS ta, "
