@@ -136,3 +136,71 @@ def test_set_seq_ratio_bounds(l1, l2):
         assert 0.0 <= r <= 1.0
     assert K.seqratio(l1, l1) == 1.0
     assert K.setratio(l1, l1) == 1.0
+
+
+# --- round-2 surfaces: score_hint, simhash batch identity, band keys, codecs
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts, texts,
+       st.integers(min_value=0, max_value=300),
+       st.one_of(st.none(), st.integers(min_value=0, max_value=200)))
+def test_score_hint_invisible(a, b, hint, cutoff):
+    from levsim import batch
+
+    got, _ = batch.batch_distance([a], [b], score_cutoff=cutoff, score_hint=hint)
+    exp, _ = batch.batch_distance([a], [b], score_cutoff=cutoff)
+    assert got[0] == exp[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcde fg\t", max_size=40), max_size=8))
+def test_simhash_batch_scalar_identity(texts_list):
+    from levsim.blocking import _tokenize
+    from levsim.extras.dedup import batch_simhash, simhash64
+
+    got = batch_simhash(texts_list)
+    for t, s in zip(texts_list, got):
+        assert int(s) == simhash64(_tokenize(t))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                min_size=8, max_size=8),
+       st.sampled_from([1, 2, 4]))
+def test_band_keys_scalar_batch_identity(sig, rows_per_band):
+    import numpy as np
+
+    from levsim.blocking import band_keys, band_keys_batch
+
+    arr = np.asarray(sig, dtype=np.uint64)
+    scalar = band_keys(arr, rows_per_band)
+    batch = band_keys_batch(arr[None, :], rows_per_band)[0].tolist()
+    assert scalar == batch
+    assert len(scalar) == 8 // rows_per_band
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=12),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from levsim.extras.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+                min_size=1, max_size=400))
+def test_wav_roundtrip_property(samples):
+    import numpy as np
+
+    from levsim.extras.multimodal import decode_wav, encode_wav
+
+    rate, back = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.abs(back - np.asarray(samples)).max() <= 1.0 / 32767 + 1e-12
