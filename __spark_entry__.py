@@ -667,6 +667,15 @@ def q_char_ngram_jaccard(spark, sf_dir):
     return p.where(F.col("n_inter") * 100 >= F.col("n_union") * 15)
 
 
+def q_cosine_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute = exact mode, the
+    dedup-family oracle; the LSH mode is the recall-tested scale path)."""
+    from levsim.extras.simsearch import embedding_neardup_pairs
+
+    e = _emb(spark, sf_dir)
+    return embedding_neardup_pairs(e, threshold=0.4, method="brute")
+
+
 def q_ivf_topk_exact(spark, sf_dir):
     """IVF with nprobe == nlist probes every cell, so the result must equal
     exact brute-force top-k — a hard cross-engine check of the IVF
@@ -772,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_md5_pairs": q_minhash_md5_pairs,
         "char_ngram_jaccard": q_char_ngram_jaccard,
         "ivf_topk_exact": q_ivf_topk_exact,
+        "cosine_neardup_pairs": q_cosine_neardup_pairs,
     }
 
 
@@ -1085,6 +1095,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, cosine, "
             "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
             "FROM s) WHERE rank <= 3"
+        ),
+        "cosine_neardup_pairs": (
+            "WITH c AS (SELECT vec_id, embedding FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+            "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+            "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) "
+            "AS cosine FROM c a JOIN c b ON a.vec_id < b.vec_id "
+            "WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+            "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+            "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) "
+            ">= 0.4"
         ),
         "event_sessions": (
             "WITH g AS (SELECT user_id, event_id, "

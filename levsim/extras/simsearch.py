@@ -189,6 +189,65 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    round_decimals: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine >= tau) —
+    the embedding member of the dedup family (exact / minhash / simhash /
+    n-gram Jaccard / embedding-cosine).
+
+    method='brute': exact all-pairs (broadcast self-join, JVM-side cosine)
+    — O(N^2), the correctness oracle and fine for blocked subsets.
+    method='lsh': hyperplane-signature band self-join then cosine verify —
+    the scale path; recall < 1 by construction (measured vs brute in
+    tests), candidates bounded by bucket sizes instead of N^2."""
+    c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if method == "brute":
+        cand = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        sig = hyperplane_sig_udf(n_planes, dim)
+        rows = n_planes // bands
+        mask = (1 << rows) - 1
+
+        def banded(df, idc, vc):
+            s = df.withColumn("sig", sig(F.col(vc)))
+            return s.select(
+                idc, vc,
+                F.explode(F.array(*[
+                    F.concat(F.lit(f"{i}:"),
+                             F.shiftright(F.col("sig"), i * rows)
+                             .bitwiseAND(F.lit(mask)).cast("string"))
+                    for i in range(bands)
+                ])).alias("bucket"),
+            )
+
+        a = banded(c, "id_a", "va")
+        b = banded(d, "id_b", "vb")
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .drop("bucket")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        cand.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")),
+                                          round_decimals))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

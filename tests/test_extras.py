@@ -362,3 +362,25 @@ def test_char_ngrams_edge_cases(spark):
         dedup.char_ngram_jaccard_col(F.lit("abcd"), F.lit("abcde"), 3).alias("j")
     ).collect()[0].j
     assert abs(j - 2.0 / 3.0) < 1e-12
+
+
+def test_embedding_neardup_pairs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(60, 64)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # seed 12 true near-dup pairs: ids 100+i are jittered copies of i
+    for i in range(12):
+        rows.append((100 + i, (base[i] + rng.randn(64) * 0.05).tolist()))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {(r.id_a, r.id_b)
+             for r in simsearch.embedding_neardup_pairs(
+                 corpus, threshold=0.9, method="brute").collect()}
+    assert {(i, 100 + i) for i in range(12)} <= brute
+    lsh = {(r.id_a, r.id_b)
+           for r in simsearch.embedding_neardup_pairs(
+               corpus, threshold=0.9, method="lsh",
+               n_planes=16, bands=8).collect()}
+    assert lsh <= brute                      # verify step: no false positives
+    assert len(lsh & brute) >= 0.8 * len(brute)  # recall of the scale path
