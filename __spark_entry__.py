@@ -137,6 +137,50 @@ def q_lev_weighted_pairs(spark, sf_dir):
     )
 
 
+def q_lev_weighted_asym(spark, sf_dir):
+    """Fully asymmetric weights (ins=3, del=1, sub=2) on 18-char prefixes —
+    the generalized weighted DP checked against a recursive-CTE oracle that
+    runs the same weighted recurrence in SQL (the uniform (2,2,2) query
+    only exercises scaling)."""
+    from levsim.udfs import lev_distance_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.substring("text_a", 1, 18).alias("ta"),
+        F.substring("text_b", 1, 18).alias("tb"),
+    )
+    return p.select(
+        "id_a", "id_b",
+        lev_distance_udf(weights=(3, 1, 2))("ta", "tb").alias("wdist"),
+    )
+
+
+def _wlev_cte_sql(ins: int, dele: int, sub: int, trunc_len: int) -> str:
+    """Weighted-Levenshtein recursive-CTE oracle: the min-plus unrolling
+    generalizes to weighted inserts —
+    row'[j] = j*ins + min_{k<=j} (m[k] - k*ins), m[0] = (i+1)*del,
+    m[k] = min(prev[k] + del, prev[k-1] + (a_i == b_k ? 0 : sub))."""
+    return (
+        "WITH RECURSIVE p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"substr(a.text, 1, {trunc_len}) AS ta, substr(b.text, 1, {trunc_len}) AS tb "
+        "FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "dp AS ("
+        "SELECT id_a, id_b, ta, tb, 0 AS i, "
+        f"list_transform(generate_series(0, length(tb)), j -> j * {ins}) AS row FROM p "
+        "UNION ALL "
+        "SELECT id_a, id_b, ta, tb, i + 1 AS i, "
+        f"list_transform(generate_series(0, length(tb)), j -> "
+        f"j * {ins} + list_min(list_transform(generate_series(0, j), k -> "
+        f"(CASE WHEN k = 0 THEN (i + 1) * {dele} "
+        f"ELSE least(row[k+1] + {dele}, row[k] + "
+        f"CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) THEN 0 ELSE {sub} END) "
+        f"END) - k * {ins}))) AS row "
+        "FROM dp WHERE i < length(ta)) "
+        "SELECT id_a, id_b, row[length(tb)+1] AS wdist FROM dp WHERE i = length(ta)"
+    )
+
+
 def q_editops_roundtrip(spark, sf_dir):
     # apply_edit(editops(a,b), a, b) == b for every pair -> the count of
     # successful round-trips must equal the total pair count (SQL oracle)
@@ -747,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_pairs": q_hamming_pairs,
         "editops_count_pairs": q_editops_count_pairs,
         "lev_weighted_pairs": q_lev_weighted_pairs,
+        "lev_weighted_asym": q_lev_weighted_asym,
         "editops_roundtrip": q_editops_roundtrip,
         "setmedian_groups": q_setmedian_groups,
         "quickmedian_groups": q_quickmedian_groups,
@@ -949,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS n_ops FROM p",
         "lev_weighted_pairs": _P_CTE
         + "SELECT id_a, id_b, 2 * levenshtein(text_a, text_b) AS wdist FROM p",
+        "lev_weighted_asym": _wlev_cte_sql(3, 1, 2, 18),
         "editops_roundtrip": _P_CTE
         + (
             "SELECT lang, count(*) AS n_pairs, count(*) AS n_roundtrip_ok "
