@@ -213,8 +213,9 @@ def elect_representatives_hierarchical(
     def _level2(pdf: pd.DataFrame) -> pd.DataFrame:
         # deterministic member order: by salt (subgroup index)
         pdf = pdf.sort_values("_salt", kind="mergesort")
+        cid = str(pdf["cluster_id"].iloc[0])  # BEFORE the notna filter —
+        # a cluster whose members are all null-text must keep its id
         pdf = pdf[pdf["rep"].notna()]
-        cid = str(pdf["cluster_id"].iloc[0]) if len(pdf) else None
         if not len(pdf):
             return pd.DataFrame({"cluster_id": [cid], "n_members": [0],
                                  "representative": [None]})

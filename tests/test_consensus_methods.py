@@ -97,3 +97,13 @@ def test_hierarchical_megacluster_bounded_and_majority(spark):
         base.repartition(17), method="setmedian", fanout=32,
         direct_threshold=1000).collect()
     assert out2[0].representative == out[0].representative
+
+
+def test_hierarchical_all_null_cluster_keeps_id(spark):
+    from levsim.consensus import elect_representatives_hierarchical
+
+    rows = [("d1", "c1", None), ("d2", "c1", None), ("d3", "c2", "ok text")]
+    df = spark.createDataFrame(rows, ["doc_id", "cluster_id", "norm_text"])
+    got = {r.cluster_id: r.representative
+           for r in elect_representatives_hierarchical(df).collect()}
+    assert got == {"c1": None, "c2": "ok text"}
