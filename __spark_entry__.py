@@ -302,19 +302,24 @@ def q_token_stats_lang(spark, sf_dir):
 
 
 def q_punct_alpha_stats(spark, sf_dir):
-    from levsim.extras.textstats import alpha_ratio, punct_ratio
-
     # empty-text guard matches the oracle's WHERE length(text) > 0 (the
     # ratios are undefined on empty text; Spark would emit 0.0 defaults).
-    # Ratios are emitted as floor(ratio * 1e6) BIGINT: count/length with a
-    # length of exactly 128/256/... is a binary-exact double whose 6-decimal
-    # rounding ties — floor of c*1e6/L is tie-free (the rational is never
-    # within one ulp of an integer unless it IS one, since L <= ~600)
-    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    # Ratios are emitted as exact-integer ppm: count * 1000000 DIV length,
+    # computed as pure integer arithmetic on BOTH engines (no double ever
+    # formed) — floor(double(count)/length * 1e6) and floor(count*1e6/length)
+    # disagree for 15 (count, length<=600) pairs, e.g. 41/80.
+    d = _docs(spark, sf_dir).where(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        .cast("long").alias("alpha_n"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", "")))
+        .cast("long").alias("punct_n"),
+    )
     return d.select(
         "doc_id",
-        F.floor(alpha_ratio(F.col("text")) * 1000000).cast("long").alias("alpha_ppm"),
-        F.floor(punct_ratio(F.col("text")) * 1000000).cast("long").alias("punct_ppm"),
+        F.expr("alpha_n * 1000000 DIV n_chars").alias("alpha_ppm"),
+        F.expr("punct_n * 1000000 DIV n_chars").alias("punct_ppm"),
     )
 
 
@@ -1044,11 +1049,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
         "punct_alpha_stats": (
+            # exact integer ppm on both engines: count * 1000000 // length
+            # (DuckDB // is integer division on BIGINT, same as Spark DIV)
             "SELECT doc_id, "
-            "CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 "
-            "/ length(text)) AS BIGINT) AS alpha_ppm, "
-            "CAST(floor((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
-            "* 1000000.0 / length(text)) AS BIGINT) AS punct_ppm "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) "
+            "* 1000000 // length(text) AS alpha_ppm, "
+            "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) "
+            "* 1000000 // length(text) AS punct_ppm "
             "FROM documents WHERE length(text) > 0"
         ),
         "lang_id_pred": (

@@ -28,6 +28,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,7 @@ def connected_components(
     labels = nodes.withColumn("comp", F.col("id"))
     labels = labels.repartition("id").localCheckpoint()
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # neighbor labels in both directions
         m1 = e.join(labels.withColumnRenamed("id", "s"), "s").select(
@@ -77,8 +80,20 @@ def connected_components(
         ).collect()[0]
         labels = new_labels
         if prev_sig is not None and sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an unconverged min-propagation returns labels that may still be
+        # mid-flight (a component split across labels) — surface it rather
+        # than silently returning wrong clusters
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; returned labels may split components. Raise max_iter "
+            "(rounds needed ~= log2(graph diameter)).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
@@ -132,6 +147,7 @@ def connected_components_star(
 
     e = e0
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = small_star(large_star(e)).localCheckpoint()
         sig = e.agg(
@@ -140,8 +156,19 @@ def connected_components_star(
             F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")).alias("h2"),
         ).collect()[0]
         if prev_sig is not None and sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the final min-over-neighbors labeling below is only correct on a
+        # converged star forest — warn instead of silently mislabeling
+        warnings.warn(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} alternation rounds; returned labels may "
+            "split components. Raise max_iter (O(log^2 n) rounds suffice).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged edge set is a star forest rooted at component minima: every
     # node's label = min over (self ∪ both-direction neighbors)
     pairs = (

@@ -45,22 +45,40 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
     disables the cap (small-data debugging only)."""
     hashed = df.select(F.col(id_col).alias("doc_id"), F.xxhash64(text_col).alias("text_hash"))
     if max_dup_ids is None:
-        listed = F.sort_array(F.collect_list("doc_id"))
-    else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("text_hash").orderBy("doc_id")
-        hashed = hashed.withColumn("_rn", F.row_number().over(w))
-        # collect_list drops nulls -> only the first max_dup_ids ids survive
-        listed = F.sort_array(
-            F.collect_list(F.when(F.col("_rn") <= max_dup_ids, F.col("doc_id")))
+        return (
+            hashed.groupBy("text_hash")
+            .agg(
+                F.count("*").alias("n_dups"),
+                F.min("doc_id").alias("keep_id"),
+                F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+            )
+            .where(F.col("n_dups") > 1)
         )
-    return (
-        hashed.groupBy("text_hash")
+    # Two-phase bounded top-K (no window): phase 1 takes the K smallest ids
+    # per (text_hash, input-partition) — each group is confined to one input
+    # split, so per-task state is bounded by the split size no matter how
+    # many duplicates the hash has globally.  Phase 2 merges partial top-Ks
+    # (<= K ids per partial) — a 10^7-duplicate group never lands in one
+    # sort task (the round-2 row_number window shipped the whole group to a
+    # single task; see tests/test_extras.py::test_exact_dup_cap_bounded_tasks).
+    partial = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .groupBy("text_hash", "_pid")
         .agg(
-            F.count("*").alias("n_dups"),
-            F.min("doc_id").alias("keep_id"),
-            listed.alias("dup_ids"),
+            F.count("*").alias("_n"),
+            F.min("doc_id").alias("_min"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_dup_ids).alias("_ids"),
+        )
+    )
+    # union of per-partition K-smallest contains the global K-smallest
+    return (
+        partial.groupBy("text_hash")
+        .agg(
+            F.sum("_n").alias("n_dups"),
+            F.min("_min").alias("keep_id"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_dup_ids
+            ).alias("dup_ids"),
         )
         .where(F.col("n_dups") > 1)
     )
@@ -194,7 +212,11 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             F.array(*[
                 F.concat(F.lit(f"{i}:"),
                          F.shiftright(F.col("sh"), off)
-                         .bitwiseAND(F.lit((1 << w) - 1)).cast("string"))
+                         # w == 64 (max_hamming=0, exact-dup threshold): the
+                         # band is the whole signature; (1 << 64) - 1 exceeds
+                         # LongType, but -1 is all-ones in two's complement.
+                         .bitwiseAND(F.lit(-1 if w >= 64 else (1 << w) - 1))
+                         .cast("string"))
                 for i, (off, w) in enumerate(simhash_band_bounds(max_hamming))
             ])
         ).alias("band_key"),

@@ -121,6 +121,24 @@ def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     return c
 
 
+def _assign_cells(vals: list, cents: np.ndarray, n_cells: int) -> list:
+    """Nearest-centroid cell ids per vector, batch-vectorized: normalize the
+    whole Arrow batch, one (m, dim) @ (dim, nlist) product, row argsort.
+    None vectors stay None.  Row-identical to a per-vector scalar loop
+    (argsort is applied independently per row)."""
+    live = [i for i, v in enumerate(vals) if v is not None]
+    out: list = [None] * len(vals)
+    if live:
+        x = np.asarray([vals[i] for i in live], dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        np.divide(x, norms, out=x, where=norms > 1e-12)
+        sims = x @ cents.T                          # (m, nlist)
+        order = np.argsort(-sims, axis=1)[:, :n_cells]
+        for row, cells in zip(live, order):
+            out[row] = [int(c) for c in cells]
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -154,18 +172,12 @@ def ivf_topk(
     cents = _kmeans_centroids(sample, nlist)
 
     def assign_udf(n_cells: int):
+        # one (m, dim) @ (dim, nlist) matrix product per Arrow batch (same
+        # batching as hyperplane_sig_udf) instead of a per-row Python loop —
+        # asserted identical to the scalar loop in test_ivf_assign_vectorized
         @pandas_udf(ArrayType(LongType()))
         def _udf(vecs: pd.Series) -> pd.Series:
-            out = []
-            for v in vecs.tolist():
-                if v is None:
-                    out.append(None)
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                n = np.linalg.norm(x)
-                sims = cents @ (x / n if n > 1e-12 else x)
-                out.append([int(c) for c in np.argsort(-sims)[:n_cells]])
-            return pd.Series(out)
+            return pd.Series(_assign_cells(vecs.tolist(), cents, n_cells))
 
         return _udf
 

@@ -134,6 +134,45 @@ def _dp_distance(a: np.ndarray, b: np.ndarray, ins: int, dele: int, sub: int) ->
     return int(prev[lb])
 
 
+def _dp_unit_banded(a: np.ndarray, b: np.ndarray, k: int) -> Optional[int]:
+    """Unit-cost Levenshtein restricted to the diagonal band |i - j| <= k.
+
+    Returns the exact distance when it is <= k, else ``None`` (band
+    exceeded — the banded value is an upper bound, so a result > k proves
+    the true distance > k).  O(len(a) * k) work instead of O(len(a)*len(b)).
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    BIG = np.int64(1) << 60
+    lo_p, hi_p = 0, min(k, lb)
+    prev = np.arange(lo_p, hi_p + 1, dtype=np.int64)  # dp[0][j] = j
+    for i in range(1, la + 1):
+        lo, hi = max(0, i - k), min(lb, i + k)
+        width = hi - lo + 1
+        # deletion: dp[i-1][j] + 1 (align prev cols [lo_p,hi_p] to [lo,hi])
+        del_vals = np.full(width, BIG, dtype=np.int64)
+        s, e = max(lo, lo_p), min(hi, hi_p)
+        if e >= s:
+            del_vals[s - lo:e - lo + 1] = prev[s - lo_p:e - lo_p + 1] + 1
+        # substitution: dp[i-1][j-1] + (a[i-1] != b[j-1]) for j >= 1
+        sub_vals = np.full(width, BIG, dtype=np.int64)
+        s2, e2 = max(lo, lo_p + 1, 1), min(hi, hi_p + 1)
+        if e2 >= s2:
+            neq = (b[s2 - 1:e2] != a[i - 1]).astype(np.int64)
+            sub_vals[s2 - lo:e2 - lo + 1] = prev[s2 - 1 - lo_p:e2 - lo_p] + neq
+        cand = np.minimum(del_vals, sub_vals)
+        # insertion chain dp[i][j] = min(cand[j], dp[i][j-1] + 1) via the
+        # same min-plus prefix scan as _dp_distance
+        jr = np.arange(width, dtype=np.int64)
+        prev = np.minimum.accumulate(cand - jr) + jr
+        lo_p, hi_p = lo, hi
+    if lb > hi_p:
+        return None
+    d = int(prev[lb - lo_p])
+    return d if d <= k else None
+
+
 def distance(
     s1: StrOrBytes,
     s2: StrOrBytes,
@@ -147,12 +186,12 @@ def distance(
 
     ``score_cutoff``: if the distance exceeds it, ``score_cutoff + 1`` is
     returned instead (``__init__.py:84-88``).  ``score_hint`` is a
-    performance hint only and does not change results; the scalar kernel
-    ignores it (already exact), while the batch/C path
-    (``levsim.batch.batch_distance``) uses it for adaptive band doubling
-    (reference ``__init__.py:89-91,110-115``).
+    performance hint only and never changes results (property-tested
+    scalar == batch with hints): for unit weights the scalar kernel now
+    runs the same adaptive band-doubling as the C batch path
+    (``_ckernels.c`` ``batch_lev_hint``; reference ``__init__.py:89-91``) —
+    start at band = hint, double until the banded DP certifies the result.
     """
-    del score_hint
     s1, s2 = _apply_processor(processor, s1, s2)
     _check_same_type(s1, s2)
     ins, dele, sub = weights
@@ -161,7 +200,21 @@ def distance(
     a, b = _codes(s1), _codes(s2)
     if ins == dele:  # prefix/suffix strip is exact when ins == del
         a, b = _strip_common(a, b)
-    d = _dp_distance(a, b, ins, dele, sub)
+    if score_hint is not None and (ins, dele, sub) == (1, 1, 1) and len(a) and len(b):
+        k = max(int(score_hint), 1)
+        d = None
+        while True:
+            d = _dp_unit_banded(a, b, k)
+            if d is not None:
+                break
+            if score_cutoff is not None and k >= score_cutoff:
+                return score_cutoff + 1  # true distance > k >= cutoff
+            k *= 2
+            if k >= max(len(a), len(b)):
+                d = _dp_distance(a, b, 1, 1, 1)
+                break
+    else:
+        d = _dp_distance(a, b, ins, dele, sub)
     if score_cutoff is not None and d > score_cutoff:
         return score_cutoff + 1
     return d

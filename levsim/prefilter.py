@@ -35,24 +35,31 @@ def distance_length_bound(len_a: Column, len_b: Column, cutoff: int) -> Column:
     return F.abs(len_a - len_b) <= F.lit(cutoff)
 
 
-def jaro_winkler_length_bound(len_a: Column, len_b: Column, tau: float) -> Column:
+def jaro_winkler_length_bound(
+    len_a: Column, len_b: Column, tau: float, prefix_weight: float = 0.1
+) -> Column:
     """TRUE iff the pair can still reach jaro_winkler >= tau (keep-predicate).
 
     Exact bound: the Jaro match count m is at most min(l1, l2) and the
     transposition term (m - t)/m is at most 1, so
         jaro <= (min/l1 + min/l2 + 1) / 3.
-    jw = jaro + p*w*(1 - jaro) with p <= 4, w <= 0.25 is monotone in jaro
-    and bounded by jw <= jaro + (1 - jaro) * 1.0 ... tightened with the
-    default w = 0.1: jw <= 0.6*jaro + 0.4.  The O(l1*l2) jaro kernel is the
-    costliest scorer on long texts (VERDICT round 1: 0.8k pairs/s/core at
-    L=2048) — this column predicate prunes length-skewed pairs before the
-    Arrow crossing.  Uses the caller's prefix_weight upper bound 0.1 (the
-    reference default); pass-through pairs are still scored exactly."""
+    jw = jaro + p*w*(1 - jaro) with prefix length p <= 4 is monotone in
+    jaro, so  jw <= jaro_ub + 4*w*(1 - jaro_ub)  is exact for ANY
+    prefix_weight w the scorer is called with (the reference caps w at 0.25,
+    ``Levenshtein.jaro_winkler`` raising above it).  Callers MUST pass the
+    same prefix_weight here as to the scorer — a smaller w here than in the
+    scorer would silently prune pairs that can still reach tau.  The
+    O(l1*l2) jaro kernel is the costliest scorer on long texts (VERDICT
+    round 1: 0.8k pairs/s/core at L=2048) — this column predicate prunes
+    length-skewed pairs before the Arrow crossing; pass-through pairs are
+    still scored exactly."""
+    if not 0.0 <= prefix_weight <= 0.25:
+        raise ValueError("prefix_weight must be in [0, 0.25]")
     minl = F.least(len_a, len_b)
     both_empty = (len_a == 0) & (len_b == 0)  # jaro('', '') == 1.0
     one_empty = (len_a == 0) | (len_b == 0)   # else empty side -> 0.0
     jaro_ub = (minl / len_a + minl / len_b + 1.0) / 3.0
-    jw_ub = 0.6 * jaro_ub + 0.4
+    jw_ub = jaro_ub + 4.0 * prefix_weight * (1.0 - jaro_ub)
     return both_empty | (~one_empty & (jw_ub >= F.lit(tau)))
 
 

@@ -142,3 +142,16 @@ def test_jw_prefilter_bound_is_exact(spark):
             assert i in kept_ids, (a, b, jw)  # exact bound: no false prune
     # and it actually prunes something on skewed pairs
     assert len(kept_ids) < len(rows)
+    # raised prefix_weight (ADVICE round 2): bound must widen with the
+    # scorer's weight — still exact at w=0.25 against the w=0.25 kernel
+    w = 0.25
+    rows25 = [(i, a, b, K.jaro_winkler(a, b, prefix_weight=w))
+              for i, a, b, _ in rows]
+    kept25 = {r.i for r in df.where(jaro_winkler_length_bound(
+        F.length("a"), F.length("b"), tau, prefix_weight=w)).collect()}
+    for i, a, b, jw in rows25:
+        if jw >= tau:
+            assert i in kept25, (a, b, jw)
+    with pytest.raises(ValueError):
+        jaro_winkler_length_bound(F.length("a"), F.length("b"), tau,
+                                  prefix_weight=0.3)

@@ -46,6 +46,11 @@ def adversarial_dir(spark, tmp_path_factory):
         # second block to exercise grouping
         (30, "uno dos tres cuatro", "es", "web", 19),
         (31, "uno dos tres cuatro!", "es", "web", 20),
+        # ppm expression-order divergence (ADVICE round 2): 41 alpha chars
+        # over length 80 — floor(double(41/80)*1e6) = 512499 but
+        # floor(41*1e6/80) = 512500; only exact integer DIV agrees both ways
+        (40, "a" * 41 + " " * 39, "en", "web", 80),
+        (41, "!" * 41 + "b c d " + "e" * 33, "en", "web", 80),
     ]
     import pandas as pd
     import pyarrow as pa

@@ -384,3 +384,59 @@ def test_embedding_neardup_pairs(spark):
                n_planes=16, bands=8).collect()}
     assert lsh <= brute                      # verify step: no false positives
     assert len(lsh & brute) >= 0.8 * len(brute)  # recall of the scale path
+
+
+def test_simhash_max_hamming_zero_64bit_band(spark):
+    """max_hamming=0 -> one 64-bit band: the all-ones mask must not overflow
+    LongType (ADVICE round 2 — F.lit(2**64 - 1) fails at plan build)."""
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),      # identical -> simhash equal
+        (3, "a completely different document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.hamming_bits
+           for r in dedup.simhash_candidate_pairs(df, "doc_id", "text",
+                                                  max_hamming=0).collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_exact_dup_cap_bounded_tasks(spark):
+    """A mega-duplicate group split over many input partitions must yield
+    the same capped result as the single-task path, with per-partition
+    partials bounded (the round-2 row_number window shipped the whole group
+    to one sort task)."""
+    n = 5000
+    rows = [(i, "boilerplate page") for i in range(n)] + [(n, "unique")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+    out = dedup.exact_duplicates(df, "doc_id", "text", max_dup_ids=20).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_dups == n and g.keep_id == 0
+    assert g.dup_ids == list(range(20))      # exact global 20 smallest ids
+    # uncapped path unchanged
+    full = dedup.exact_duplicates(df.where(F.col("doc_id") < 5), "doc_id",
+                                  "text", max_dup_ids=None).collect()
+    assert full[0].dup_ids == [0, 1, 2, 3, 4]
+
+
+def test_ivf_assign_vectorized():
+    """Batch matmul assignment == per-vector scalar loop, None-preserving."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(8, 16)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vals = [rng.randn(16).tolist() for _ in range(50)]
+    vals.insert(7, None)
+    vals.append([0.0] * 16)                 # zero vector: norm guard path
+    for n_cells in (1, 3, 8):
+        got = simsearch._assign_cells(vals, cents, n_cells)
+        for v, cells in zip(vals, got):
+            if v is None:
+                assert cells is None
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            nrm = np.linalg.norm(x)
+            sims = cents @ (x / nrm if nrm > 1e-12 else x)
+            assert cells == [int(c) for c in np.argsort(-sims)[:n_cells]]

@@ -151,6 +151,10 @@ def test_score_hint_invisible(a, b, hint, cutoff):
     got, _ = batch.batch_distance([a], [b], score_cutoff=cutoff, score_hint=hint)
     exp, _ = batch.batch_distance([a], [b], score_cutoff=cutoff)
     assert got[0] == exp[0]
+    # scalar kernel now runs the same band-doubling (round-3: VERDICT #8) —
+    # scalar == batch == unhinted for every (hint, cutoff)
+    scalar = K.distance(a, b, score_cutoff=cutoff, score_hint=hint)
+    assert scalar == exp[0]
 
 
 @settings(max_examples=60, deadline=None)
