@@ -3,21 +3,30 @@
 Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
 
-  q1_er_scoring     blocked pair generation + length prefilter + Arrow
-                    ratio/jw scoring (the pipeline hot path)
-  q2_er_pipeline    + threshold + connected components + medoid consensus
-  q3_minhash_dedup  MinHash-LSH candidates + verified near-dup pairs
-  q4_cosine_topk    brute-force cosine top-k over embeddings
-  q5_textstats      full text-quality projection + aggregation
+  q1_er_scoring        blocked pair generation + length prefilter + Arrow
+                       ratio/jw scoring (the pipeline hot path)
+  q2_er_pipeline       + threshold + connected components + medoid consensus
+  q3_minhash_dedup     MinHash-LSH candidates + verified near-dup pairs
+  q4_cosine_topk       brute-force cosine top-k over embeddings
+  q5_textstats         full text-quality projection + aggregation
+  q6_simhash_dedup     SimHash signatures + pigeonhole banding + verified
+                       hamming pairs
+  q7_embedding_neardup hyperplane-LSH bucketed cosine near-dup pairs
+
+Measurement protocol (round-3: VERDICT round 2 flagged single-shot noise —
+q4 "+104%" on byte-identical code): every query runs $SPARK_GRAFT_BENCH_RUNS
+times (default 3) and the reported number is the MEDIAN; all samples are
+emitted under extra.samples so regressions can be told from outliers.
 
 Extra keys (beyond the driver contract): pairs_scored, pairs_per_sec,
-cpus — used by BENCH/BASELINE.md scaling analysis.
+cpus, runs, samples — used by BENCH/BASELINE.md scaling analysis.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -37,11 +47,10 @@ def main() -> None:
                       shuffle_partitions=max(int(cpus) * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as entrymod
     from levsim.clustering import connected_components
     from levsim.consensus import elect_representatives
-    from levsim.extras.dedup import minhash_candidate_pairs
-    from levsim.extras.simsearch import brute_force_topk
+    from levsim.extras.dedup import minhash_candidate_pairs, simhash_candidate_pairs
+    from levsim.extras.simsearch import brute_force_topk, embedding_neardup_pairs
     from levsim.extras.textstats import with_textstats
     from levsim.prefilter import ratio_length_bound
     from levsim.udfs import lev_ratio_udf, multi_score_udf
@@ -53,7 +62,8 @@ def main() -> None:
     emb.count()
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {"n_docs": n_docs, "cpus": int(cpus)}
+    samples_all: dict[str, list[float]] = {}
+    extra: dict[str, float] = {"n_docs": n_docs, "cpus": int(cpus), "runs": runs}
 
     def scored_pairs():
         tau = 0.5
@@ -81,58 +91,92 @@ def main() -> None:
     )
     warm.agg(F.count("_w.ratio"), F.count("_w.jaro_winkler")).collect()
 
+    def bench(name: str, fn) -> None:
+        """Median-of-N timing; fn() must fully execute the query (an action
+        that consumes every scored column so Catalyst can't prune work)."""
+        obs = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            obs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(obs), 3)
+        samples_all[name] = [round(s, 3) for s in obs]
+
     # q1: scoring hot path — the aggregate consumes BOTH score columns so
     # Catalyst cannot prune a scorer out of the measurement
-    t0 = time.perf_counter()
-    row = scored_pairs().agg(
-        F.count("ratio").alias("n"), F.count("jw").alias("nj")
-    ).collect()[0]
-    n_pairs = row["n"]
-    timings["q1_er_scoring"] = round(time.perf_counter() - t0, 3)
-    extra["pairs_scored"] = n_pairs
-    extra["pairs_per_sec"] = round(n_pairs / timings["q1_er_scoring"], 1)
+    def q1():
+        row = scored_pairs().agg(
+            F.count("ratio").alias("n"), F.count("jw").alias("nj")
+        ).collect()[0]
+        extra["pairs_scored"] = row["n"]
+
+    bench("q1_er_scoring", q1)
+    extra["pairs_per_sec"] = round(extra["pairs_scored"] / timings["q1_er_scoring"], 1)
 
     # q2: full pipeline (threshold -> CC -> consensus)
-    t0 = time.perf_counter()
-    matched = scored_pairs().where(F.col("ratio") >= 0.62)
-    comps = connected_components(matched)
-    clustered = (
-        docs.select(F.col("doc_id"), F.col("text").alias("norm_text"))
-        .join(comps, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
-    )
-    n_reps = elect_representatives(clustered, method="setmedian").count()
-    timings["q2_er_pipeline"] = round(time.perf_counter() - t0, 3)
-    extra["n_clusters"] = n_reps
+    def q2():
+        matched = scored_pairs().where(F.col("ratio") >= 0.62)
+        comps = connected_components(matched)
+        clustered = (
+            docs.select(F.col("doc_id"), F.col("text").alias("norm_text"))
+            .join(comps, "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        )
+        extra["n_clusters"] = elect_representatives(clustered, method="setmedian").count()
+
+    bench("q2_er_pipeline", q2)
 
     # q3: minhash dedup
-    t0 = time.perf_counter()
-    cand = minhash_candidate_pairs(docs, "doc_id", "text", rows_per_band=2, shingle_k=2)
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    verified = (
-        cand.join(a, "id_a").join(b, "id_b")
-        .withColumn("ratio", lev_ratio_udf(score_cutoff=0.6)("text_a", "text_b"))
-        .where(F.col("ratio") >= 0.6)
-    )
-    extra["minhash_verified_pairs"] = verified.count()
-    timings["q3_minhash_dedup"] = round(time.perf_counter() - t0, 3)
+    def q3():
+        cand = minhash_candidate_pairs(docs, "doc_id", "text", rows_per_band=2, shingle_k=2)
+        a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+        b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+        verified = (
+            cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("ratio", lev_ratio_udf(score_cutoff=0.6)("text_a", "text_b"))
+            .where(F.col("ratio") >= 0.6)
+        )
+        extra["minhash_verified_pairs"] = verified.count()
+
+    bench("q3_minhash_dedup", q3)
 
     # q4: cosine top-k
-    t0 = time.perf_counter()
-    q = emb.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    extra["topk_rows"] = brute_force_topk(emb, q, k=10).count()
-    timings["q4_cosine_topk"] = round(time.perf_counter() - t0, 3)
+    def q4():
+        q = emb.where(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        extra["topk_rows"] = brute_force_topk(emb, q, k=10).count()
+
+    bench("q4_cosine_topk", q4)
 
     # q5: textstats projection + aggregate
-    t0 = time.perf_counter()
-    stats = with_textstats(docs, "text")
-    extra["quality_docs"] = stats.where(F.col("quality") > 0.5).count()
-    timings["q5_textstats"] = round(time.perf_counter() - t0, 3)
+    def q5():
+        stats = with_textstats(docs, "text")
+        extra["quality_docs"] = stats.where(F.col("quality") > 0.5).count()
+
+    bench("q5_textstats", q5)
+
+    # q6: simhash dedup (round-2 operator; round-3 bench coverage)
+    def q6():
+        pairs = simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+        extra["simhash_pairs"] = pairs.count()
+
+    bench("q6_simhash_dedup", q6)
+
+    # q7: embedding near-dup via hyperplane LSH (round-2 operator).
+    # 48 planes / 6 bands = 8-bit band keys: random-pair band collision
+    # ~1/256. Note: the driver embeddings have NO true near-dups (max
+    # pairwise cosine 0.60 over 2000 vectors), so the 0-pair result is
+    # correct; the timing measures signature + banding + verify machinery.
+    def q7():
+        pairs = embedding_neardup_pairs(emb, threshold=0.9, method="lsh",
+                                        n_planes=48, bands=6)
+        extra["embedding_neardup_pairs"] = pairs.count()
+
+    bench("q7_embedding_neardup", q7)
 
     total = round(sum(timings.values()), 3)
+    extra["samples"] = samples_all
     print(json.dumps({
         "metric": "er_suite_wall_seconds",
         "value": total,
