@@ -203,6 +203,102 @@ def q_editops_roundtrip(spark, sf_dir):
     )
 
 
+def q_matching_blocks_check(spark, sf_dir):
+    # matching_blocks (reference __init__.py:388-433) verified per pair:
+    # terminal (len1, len2, 0) block, every block reconstructs identical
+    # substrings, editops and opcodes call forms agree, and the matched
+    # char count closes the editops accounting
+    # (matched == len_a - dels - reps == len_b - inss - reps).
+    # SQL oracle counts the pairs; a single failing invariant breaks the
+    # value hash (correctness-gate shape, same as editops_roundtrip).
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from levsim import kernels
+
+    @pandas_udf(BooleanType())
+    def blocks_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            ops = kernels.editops(x, y)
+            blocks = kernels.matching_blocks(ops, x, y)
+            ok = blocks[-1] == (len(x), len(y), 0)
+            for i, j, n in blocks:
+                ok = ok and x[i:i + n] == y[j:j + n]
+            ok = ok and blocks == kernels.matching_blocks(kernels.opcodes(x, y), x, y)
+            dels = sum(1 for o in ops if o[0] == "delete")
+            inss = sum(1 for o in ops if o[0] == "insert")
+            reps = sum(1 for o in ops if o[0] == "replace")
+            matched = sum(n for (_, _, n) in blocks)
+            ok = ok and matched == len(x) - dels - reps == len(y) - inss - reps
+            out.append(ok)
+        return pd.Series(out)
+
+    p = _pairs(spark, sf_dir).withColumn("ok", blocks_ok("text_a", "text_b"))
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_blocks_ok"),
+    )
+
+
+def q_editops_inverse(spark, sf_dir):
+    # inverse (reference __init__.py:514-550): apply_edit(inverse(ops), b, a)
+    # must recover a, inverse is an involution, and the opcodes form agrees.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from levsim import kernels
+
+    @pandas_udf(BooleanType())
+    def inverse_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            ops = kernels.editops(x, y)
+            inv = kernels.inverse(ops)
+            ok = kernels.apply_edit(inv, y, x) == x
+            ok = ok and kernels.inverse(inv) == [tuple(o) for o in ops]
+            ok = ok and kernels.apply_edit(
+                kernels.inverse(kernels.opcodes(x, y)), y, x) == x
+            out.append(ok)
+        return pd.Series(out)
+
+    p = _pairs(spark, sf_dir).withColumn("ok", inverse_ok("text_a", "text_b"))
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_inverse_ok"),
+    )
+
+
+def q_editops_subtract(spark, sf_dir):
+    # subtract_edit (reference __init__.py:476-511): for prefix, strided,
+    # empty and full ordered subsequences `sub` of editops(a, b),
+    # apply_edit(subtract_edit(ops, sub), apply_edit(sub, a, b), b) == b —
+    # the re-based remainder completes every partial application.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from levsim import kernels
+
+    @pandas_udf(BooleanType())
+    def subtract_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            ops = kernels.editops(x, y)
+            ok = True
+            for sub in (ops[: len(ops) // 2], ops[::2], [], ops):
+                mid = kernels.apply_edit(sub, x, y)
+                rest = kernels.subtract_edit(ops, sub)
+                ok = ok and kernels.apply_edit(rest, mid, y) == y
+            out.append(ok)
+        return pd.Series(out)
+
+    p = _pairs(spark, sf_dir).withColumn("ok", subtract_ok("text_a", "text_b"))
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_subtract_ok"),
+    )
+
+
 def q_setmedian_groups(spark, sf_dir):
     from levsim.consensus import group_median_table
 
@@ -231,6 +327,35 @@ def q_median_groups(spark, sf_dir):  # rows-only (no SQL greedy median)
     )
     return group_median_table(d, ["lang", "source"], "t", "doc_id",
                               method="median", out_col="median")
+
+
+def q_quickmedian_chars(spark, sf_dir):
+    # HARD oracle for kernels.quickmedian via single-char reduction: with
+    # every member one ASCII char and unit weights, target length is 1 and
+    # the positional vote table collapses to plain counts, so quickmedian ==
+    # plurality char with smallest-codepoint tie-break (SymMap buckets are
+    # codepoint-ordered below 128, _levenshtein.cpp:28-96) — a SQL argmax.
+    # Property-tested against kernels.quickmedian over printable ASCII.
+    from levsim.consensus import group_median_table
+
+    d = _docs(spark, sf_dir).where(F.length("text") > 0).select(
+        "lang", "source", "doc_id", F.substring("text", 1, 1).alias("t")
+    )
+    return group_median_table(d, ["lang", "source"], "t", "doc_id",
+                              method="quickmedian", out_col="quickmedian_char")
+
+
+def q_median_chars(spark, sf_dir):
+    # Same single-char reduction for the greedy median (lev_greedy_median):
+    # on 1-char members the greedy prefix search degenerates to the same
+    # weighted plurality with smallest-codepoint ties (property-tested).
+    from levsim.consensus import group_median_table
+
+    d = _docs(spark, sf_dir).where(F.length("text") > 0).select(
+        "lang", "source", "doc_id", F.substring("text", 1, 1).alias("t")
+    )
+    return group_median_table(d, ["lang", "source"], "t", "doc_id",
+                              method="median", out_col="median_char")
 
 
 def q_block_pair_counts(spark, sf_dir):
@@ -450,14 +575,14 @@ def q_ivf_topk(spark, sf_dir):  # rows-only (k-means cells not SQL-expressible)
     return ivf_topk(e, q, k=3, nlist=8, nprobe=3)
 
 
-def q_minhash_dedup_pairs(spark, sf_dir):  # rows-only (hash-based keys)
+def q_minhash_dedup_pairs(spark, sf_dir):  # hard oracle: SQL band-key replica
     from levsim.extras.dedup import minhash_candidate_pairs
 
     d = _docs(spark, sf_dir)
     return minhash_candidate_pairs(d, "doc_id", "text", rows_per_band=2, shingle_k=2)
 
 
-def q_simhash_pairs(spark, sf_dir):  # rows-only (hash-based signatures)
+def q_simhash_pairs(spark, sf_dir):  # hard oracle: SQL signature replica
     from levsim.extras.dedup import simhash_candidate_pairs
 
     d = _docs(spark, sf_dir)
@@ -798,7 +923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_weighted_pairs": q_lev_weighted_pairs,
         "lev_weighted_asym": q_lev_weighted_asym,
         "editops_roundtrip": q_editops_roundtrip,
+        "matching_blocks_check": q_matching_blocks_check,
+        "editops_inverse": q_editops_inverse,
+        "editops_subtract": q_editops_subtract,
         "setmedian_groups": q_setmedian_groups,
+        "quickmedian_chars": q_quickmedian_chars,
+        "median_chars": q_median_chars,
         "quickmedian_groups": q_quickmedian_groups,
         "median_groups": q_median_groups,
         "block_pair_counts": q_block_pair_counts,
@@ -966,6 +1096,158 @@ def _stop_sql(lang: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Recall-complete SQL oracles for the PRODUCTION hash paths (round-3).
+# The minhash/simhash pipelines are pure integer arithmetic (FNV-1a 64 over
+# UTF-32LE token bytes, affine permutations mod 2^31-1, FNV band fold +
+# splitmix64 finalizer) — DuckDB recomputes every stage exactly with HUGEINT
+# intermediate products, so the emitted pair SETS are hard-checked end to
+# end, not just sibling-checked.  Prototyped equal to the Python/C paths on
+# the full sf0.01 corpus (3886 minhash / 1477 simhash pairs).
+# ---------------------------------------------------------------------------
+
+_M64 = 1 << 64
+_FNV64 = 0x100000001B3
+_FNV64_POW4 = pow(_FNV64, 4, _M64)  # 4 bytes per UTF-32LE codepoint < 256
+
+#: exact SQL replica of levsim.blocking._tokenize (split on ASCII ws runs)
+_TOKENIZE_SQL = (
+    "list_filter(string_split(replace(replace(replace(replace(replace(text, "
+    "chr(9), ' '), chr(10), ' '), chr(11), ' '), chr(12), ' '), chr(13), ' '), ' '), "
+    "t -> t <> '')"
+)
+
+
+def _mulmod64_sql(x_hugeint_expr: str, c: int) -> str:
+    """(x * c) mod 2^64 -> UBIGINT without overflowing INT128: split the
+    constant into 32-bit halves (x < 2^64, halves < 2^32 => products < 2^96)."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"CAST(((({x_hugeint_expr}) * {lo}) + "
+        f"((({x_hugeint_expr}) * {hi}) % 4294967296) * 4294967296) "
+        f"% {_M64} AS UBIGINT)"
+    )
+
+
+#: FNV-1a 64 of token `tok` (codepoints < 256: the three zero bytes of each
+#: UTF-32LE unit fold into one multiply by FNV^4)
+_FNV_TOK_SQL = (
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS UBIGINT))), "
+    f"(h, c) -> {_mulmod64_sql('CAST(xor(h, c) AS HUGEINT)', _FNV64_POW4)})"
+)
+
+
+def _minhash_pairs_oracle_sql(n_perm: int = 64, rows_per_band: int = 2,
+                              shingle_k: int = 2, seed: int = 0x5EED) -> str:
+    """Recompute minhash_candidate_pairs' band keys (blocking.py word hash ->
+    shingle combination -> affine lanes -> band fold -> splitmix finalizer)
+    and emit the exact candidate set.  Valid while no block exceeds
+    max_block_size=500 (true at sf<=0.01: salting is the identity there)."""
+    from levsim.blocking import _SHINGLE_C, _perm_params
+
+    assert shingle_k == 2, "oracle SQL is specialized to shingle_k=2"
+    assert rows_per_band == 2, "oracle SQL is specialized to rows_per_band=2"
+    P = (1 << 31) - 1
+    MAXH = (1 << 31) - 2
+    GOLD = 0x9E3779B97F4A7C15
+    BASIS = 0xCBF29CE484222325
+    a, b = _perm_params(n_perm, seed)
+    perm_vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_perm))
+    band_vals = ", ".join(
+        f"({j}, {BASIS ^ ((j + 1) * GOLD % _M64)})" for j in range(n_perm // rows_per_band)
+    )
+    c0, c1 = _SHINGLE_C[0], _SHINGLE_C[1]
+    fold0 = _mulmod64_sql(
+        "CAST(xor(CAST(bs.salt AS UBIGINT), "
+        f"MIN(CASE WHEN lf.i % {rows_per_band} = 0 THEN lf.lane END)) AS HUGEINT)",
+        _FNV64,
+    )
+    fold1 = _mulmod64_sql(
+        f"CAST(xor({fold0}, MIN(CASE WHEN lf.i % {rows_per_band} = 1 THEN lf.lane END)) "
+        "AS HUGEINT)",
+        _FNV64,
+    )
+    fin1 = _mulmod64_sql("CAST(xor(h, h >> 30) AS HUGEINT)", 0xBF58476D1CE4E5B9)
+    fin2 = _mulmod64_sql(f"CAST(xor({fin1}, {fin1} >> 27) AS HUGEINT)", 0x94D049BB133111EB)
+    fin = f"xor({fin2}, {fin2} >> 31)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents
+), wh AS (
+  SELECT doc_id, list_transform(tl, tok -> CAST({_FNV_TOK_SQL} % {P} AS BIGINT)) AS hs,
+         len(tl) AS n FROM toks
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN []
+         WHEN n <= {shingle_k} THEN [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, n), j ->
+               ({c0} * hs[j] * CAST(j = 1 AS BIGINT)
+                + {c1} * hs[j] * CAST(j = 2 AS BIGINT)) % {P})),
+             (acc, x) -> (acc + x) % {P})]
+         ELSE list_transform(generate_series(1, n - {shingle_k} + 1), i ->
+               ({c0} * hs[i] + {c1} * hs[i + 1]) % {P})
+    END AS shingles
+  FROM wh
+), shd AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+), lanes AS (
+  SELECT shd.doc_id, p.i, CAST(min((p.a * shd.s + p.b) % {P}) AS UBIGINT) AS lane
+  FROM shd CROSS JOIN (SELECT * FROM (VALUES {perm_vals}) v(i, a, b)) p
+  GROUP BY shd.doc_id, p.i
+), lanes_full AS (
+  SELECT t.doc_id, p.i, COALESCE(l.lane, CAST({MAXH} AS UBIGINT)) AS lane
+  FROM toks t CROSS JOIN (SELECT * FROM (VALUES {perm_vals}) v(i, a, b)) p
+  LEFT JOIN lanes l ON l.doc_id = t.doc_id AND l.i = p.i
+), folded AS (
+  SELECT lf.doc_id, bs.j, {fold1} AS h
+  FROM lanes_full lf
+  JOIN (SELECT * FROM (VALUES {band_vals}) v(j, salt)) bs
+    ON lf.i // {rows_per_band} = bs.j
+  GROUP BY lf.doc_id, bs.j, bs.salt
+), keysi AS (
+  SELECT doc_id, CAST(CASE WHEN CAST({fin} AS HUGEINT) >= 9223372036854775808
+                 THEN CAST({fin} AS HUGEINT) - {_M64}
+                 ELSE CAST({fin} AS HUGEINT) END AS BIGINT) AS bk
+  FROM folded
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keysi a JOIN keysi b ON a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 8) -> str:
+    """Recompute simhash64 per doc (FNV-1a 64 per token, per-bit majority
+    vote over the token MULTISET, int64 reinterpret of sig - 2^63, empty
+    docs -> 0) and emit all pairs with hamming <= max_hamming — the
+    pigeonhole banding in simhash_candidate_pairs is recall-complete, so
+    the emitted set equals this closed form exactly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENIZE_SQL} AS tl FROM documents
+), wh AS (
+  SELECT doc_id, list_transform(tl, tok -> {_FNV_TOK_SQL}) AS hs, len(tl) AS n FROM toks
+), bits AS (
+  SELECT wh.doc_id, s.s,
+         CAST(2 * len(list_filter(wh.hs, h -> (h >> CAST(s.s AS UBIGINT)) & 1 = 1)) > wh.n
+              AS INT) AS b
+  FROM wh CROSS JOIN generate_series(0, 63) s(s)
+), sig AS (
+  SELECT b.doc_id,
+         sum(CAST(b.b AS HUGEINT) * CAST(power(CAST(2 AS HUGEINT), b.s) AS HUGEINT)) AS raw
+  FROM bits b GROUP BY b.doc_id
+), stored AS (
+  SELECT w.doc_id,
+         CAST(CASE WHEN w.n = 0 THEN 0 ELSE s.raw - 9223372036854775808 END AS BIGINT) AS sh
+  FROM wh w JOIN sig s ON s.doc_id = w.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming_bits
+FROM stored a JOIN stored b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ham = (
         "hamming(substr(text_a, 1, least(length(text_a), length(text_b))), "
@@ -1004,6 +1286,37 @@ def oracle_sql() -> dict[str, str]:
         + (
             "SELECT lang, count(*) AS n_pairs, count(*) AS n_roundtrip_ok "
             "FROM p GROUP BY lang"
+        ),
+        "matching_blocks_check": _P_CTE
+        + (
+            "SELECT lang, count(*) AS n_pairs, count(*) AS n_blocks_ok "
+            "FROM p GROUP BY lang"
+        ),
+        "editops_inverse": _P_CTE
+        + (
+            "SELECT lang, count(*) AS n_pairs, count(*) AS n_inverse_ok "
+            "FROM p GROUP BY lang"
+        ),
+        "editops_subtract": _P_CTE
+        + (
+            "SELECT lang, count(*) AS n_pairs, count(*) AS n_subtract_ok "
+            "FROM p GROUP BY lang"
+        ),
+        "quickmedian_chars": (
+            "WITH m AS (SELECT lang, source, substr(text, 1, 1) AS ch "
+            "FROM documents WHERE length(text) > 0), "
+            "c AS (SELECT lang, source, ch, count(*) AS n FROM m "
+            "GROUP BY lang, source, ch) "
+            "SELECT lang, source, (array_agg(ch ORDER BY n DESC, unicode(ch) ASC))[1] "
+            "AS quickmedian_char FROM c GROUP BY lang, source"
+        ),
+        "median_chars": (
+            "WITH m AS (SELECT lang, source, substr(text, 1, 1) AS ch "
+            "FROM documents WHERE length(text) > 0), "
+            "c AS (SELECT lang, source, ch, count(*) AS n FROM m "
+            "GROUP BY lang, source, ch) "
+            "SELECT lang, source, (array_agg(ch ORDER BY n DESC, unicode(ch) ASC))[1] "
+            "AS median_char FROM c GROUP BY lang, source"
         ),
         "setmedian_groups": (
             "WITH m AS (SELECT lang, source, doc_id, substr(text, 1, 32) AS t FROM documents), "
@@ -1133,6 +1446,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_md5_pairs": _simhash_md5_sql(max_hamming=3, n_bits=32),
         "minhash_md5_pairs": _minhash_md5_sql(_minhash_perms(), rows_per_band=2),
+        # production blake2b-free hash paths, recomputed stage-by-stage in
+        # SQL (round-3: these two leave the rows-only list)
+        "minhash_dedup_pairs": _minhash_pairs_oracle_sql(
+            n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED),
+        "simhash_pairs": _simhash_pairs_oracle_sql(max_hamming=8),
         "ivf_topk_exact": (
             # exact brute-force cosine top-k INCLUDING the self-match (IVF
             # with nprobe == nlist must reproduce it bit-for-bit at 3 dp)
