@@ -2,11 +2,13 @@
 with typed metadata, processed via mapInPandas.
 
 The Spark-side contract is real and tested — schemas, Arrow batch shapes,
-partition-preserving transforms.  The actual media decoding is STUBBED
-(this container ships no image/audio libs): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic
-content-derived fake decode is produced so downstream plumbing (resize,
-feature extraction, batch fan-out) can be exercised end to end.
+partition-preserving transforms — and so are the uncompressed codecs: pure
+NumPy BMP (24-bit), PCM WAV (16-bit RIFF) and AVI (RIFF + DIB frames)
+encode/decode with pixel/sample-exact roundtrips, feeding real
+pixel/sample/frame-derived features.  Only COMPRESSED formats (jpeg/png,
+mp3, h264/vp9) stay stubbed — this container ships no codec libs —
+raising NotImplementedError unless ``fake=True`` selects the
+deterministic content-derived test double.
 """
 
 from __future__ import annotations
@@ -197,6 +199,133 @@ def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
     return out
 
 
+# --- real AVI codec (pure NumPy; RIFF + uncompressed 24-bit DIB frames) -----
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB frames -> uncompressed RIFF AVI bytes
+    ('00db' DIB frames, bottom-up BGR rows padded to 4 bytes — the same
+    pixel layout as the BMP codec above, minus the per-frame header)."""
+    import struct
+
+    fx = np.asarray(frames, dtype=np.uint8)
+    if fx.ndim != 4 or fx.shape[3] != 3:
+        raise ValueError("expected (N, H, W, 3) uint8 RGB array")
+    n, h, w, _ = fx.shape
+    row_len = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in fx:
+        rows = np.zeros((h, row_len), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        frame_bytes.append(rows.tobytes())
+    frame_size = row_len * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec_per_frame = 1_000_000 // max(fps, 1)
+    avih = struct.pack("<14I", usec_per_frame, frame_size * fps, 0, 0x10,  # HASINDEX
+                       n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, max(fps, 1), 0, n, frame_size, 0, n, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """Uncompressed RIFF AVI bytes -> (fps, (N, H, W, 3) uint8 RGB frames).
+    Walks RIFF/LIST chunks (tolerating extra chunks and an idx1 index);
+    supports the 24-bit '00db'/'00dc' DIB frames encode_avi emits."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    avih = None
+    strf = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal avih, strf
+        while pos + 8 <= end:
+            cid = buf[pos: pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)  # skip list kind
+            elif cid == b"avih":
+                avih = struct.unpack_from("<14I", buf, body_start)
+            elif cid == b"strf" and strf is None:
+                strf = struct.unpack_from("<IiiHHII", buf, body_start)
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(buf[body_start: body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if avih is None or strf is None:
+        raise ValueError("AVI missing avih/strf header")
+    usec_per_frame, w, h = avih[0], avih[8], avih[9]
+    bpp, compression = strf[4], strf[5]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported AVI variant (bpp={bpp}, compression={compression})")
+    fps = int(round(1_000_000 / usec_per_frame)) if usec_per_frame else 1
+    row_len = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) < row_len * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fb, dtype=np.uint8, count=row_len * h).reshape(h, row_len)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]  # BGR->RGB, flip
+    return fps, out
+
+
+def video_features(fps: int, frames: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM floats from real frames: log duration + frame count +
+    global gray mean/std (4), inter-frame motion RMS (1), gray means over
+    11 equal temporal slices (FEATURE_DIM - 5)."""
+    fx = np.asarray(frames, dtype=np.float64)
+    n = max(len(fx), 1)
+    gray = fx.mean(axis=3) if fx.ndim == 4 and len(fx) else np.zeros((1, 1, 1))
+    motion = (
+        float(np.sqrt(np.mean(np.diff(gray, axis=0) ** 2))) / 255.0 if len(gray) > 1 else 0.0
+    )
+    head = [
+        np.log1p(n / max(fps, 1)) / 8.0,
+        np.log1p(n) / 8.0,
+        float(gray.mean()) / 127.5 - 1.0,
+        float(gray.std()) / 127.5 - 1.0,
+        motion,
+    ]
+    k = FEATURE_DIM - len(head)
+    slices = np.empty(k, dtype=np.float64)
+    for i in range(k):
+        seg = gray[i * n // k: max((i + 1) * n // k, i * n // k + 1)]
+        slices[i] = seg.mean() / 127.5 - 1.0
+    out = np.concatenate([head, slices]).astype(np.float32)
+    assert out.shape == (FEATURE_DIM,)
+    return out
+
+
+def decode_video(payload: bytes, fake: bool = False) -> np.ndarray:
+    """FEATURE_DIM feature vector for an encoded video payload.  Real path:
+    uncompressed RIFF AVI via the pure-NumPy parser above; compressed codecs
+    (h264/vp9/...) need libs absent here (fake=True for the test double)."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return video_features(*decode_avi(payload))
+    if fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "compressed video decoding requires a codec library not present in "
+        "this environment; pass fake=True for the deterministic test double"
+    )
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     """FEATURE_DIM feature vector for an encoded audio payload.  Real path:
     16-bit PCM WAV via the pure-NumPy RIFF parser; other codecs need libs
@@ -238,7 +367,7 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
     bytes-per-batch, not rows-per-batch)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoders = {"image": decode_image, "audio": decode_audio}
+        decoders = {"image": decode_image, "audio": decode_audio, "video": decode_video}
         for pdf in batches:
             for lo in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[lo: lo + batch_limit]
@@ -266,8 +395,9 @@ def extract_features(media: DataFrame, fake_decode: bool = True,
 
 def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one row per planned frame
-    timestamp (pure column algebra — the decode itself is the stubbed part).
-    Demonstrates the explode-based fan-out shape used for frame pipelines."""
+    timestamp (pure column algebra).  Pair with :func:`sample_frames` for
+    the decode; the split keeps the fan-out Catalyst-visible (partition
+    pruning / limit pushdown apply before any Python runs)."""
     return (
         video.where(F.col("kind") == "video")
         .withColumn(
@@ -279,10 +409,53 @@ def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),  # image_features of the frame
+    ]
+)
+
+
+def sample_frames(video: DataFrame, every_ms: int = 1000,
+                  batch_limit: int = 64) -> DataFrame:
+    """Decode AVI payloads and emit one row per sampled frame (timestamp
+    grid of ``every_ms``), featurized with the same image_features as still
+    images.  mapInPandas with byte-bounded batches: each payload is decoded
+    ONCE per row and all its sampled frames emitted together (decoding per
+    exploded timestamp would re-parse the container per frame)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[lo: lo + batch_limit]
+                ids, tss, idxs, feats = [], [], [], []
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    b = bytes(payload) if payload is not None else b""
+                    fps, frames = decode_avi(b)
+                    if not len(frames):
+                        continue
+                    dur_ms = int(len(frames) * 1000 / max(fps, 1))
+                    for ts in range(0, dur_ms + 1, every_ms):
+                        idx = min(int(ts * fps / 1000), len(frames) - 1)
+                        ids.append(mid)
+                        tss.append(ts)
+                        idxs.append(idx)
+                        feats.append(image_features(frames[idx]).tolist())
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_ts_ms": tss,
+                     "frame_idx": idxs, "feature": feats}
+                )
+
+    return video.where(F.col("kind") == "video").mapInPandas(fn, FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic media table for tests: REAL payloads where the codec
-    exists (BMP images, PCM WAV audio — both decode for real, no fake flag)
-    and opaque bytes for video (decode stays stubbed)."""
+    """Deterministic media table for tests: REAL payloads for all three
+    kinds (BMP images, PCM WAV audio, uncompressed AVI video — every codec
+    decodes for real, no fake flag anywhere)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -297,7 +470,12 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
             payload = encode_wav(np.sin(2 * np.pi * (200 + 20 * i) * t) * 0.7)
             mime, w, h, dur = "audio/wav", None, None, int(len(t) / 8)
         else:
-            payload = bytes(rng.randint(0, 256, size=64 + (i % 128), dtype=np.uint8).tolist())
-            mime, w, h, dur = "video/mp4", None, None, 3000
+            fps = 5 + i % 5
+            nf = 3 + i % 6
+            frames = rng.randint(0, 256, size=(nf, 6 + i % 4, 8 + i % 3, 3),
+                                 dtype=np.uint8)
+            payload = encode_avi(frames, fps=fps)
+            mime, w, h = "video/x-msvideo", frames.shape[2], frames.shape[1]
+            dur = int(nf * 1000 / fps)
         rows.append((i, kind, payload, mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -199,14 +199,18 @@ def test_multimodal_features(spark):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xxx", fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00" * 32, fake=False)
 
 
 def test_frame_sample_plan(spark):
     media = multimodal.synthetic_media(spark, n=9)
+    durs = {r.media_id: r.duration_ms
+            for r in media.where(F.col("kind") == "video").collect()}
     frames = multimodal.frame_sample_plan(media, every_ms=1000)
-    got = frames.groupBy("media_id").count().collect()
-    # videos have duration 3000ms -> timestamps 0,1000,2000,3000 = 4 frames
-    assert all(r["count"] == 4 for r in got)
+    got = {r.media_id: r["count"] for r in frames.groupBy("media_id").count().collect()}
+    # one planned timestamp per 1000ms tick incl. t=0
+    assert got == {mid: d // 1000 + 1 for mid, d in durs.items()}
     assert len(got) == 3  # every third row is video
 
 
@@ -338,14 +342,61 @@ def test_wav_roundtrip_and_features():
 
 
 def test_synthetic_media_real_decode(spark):
-    """Default fixture now carries REAL BMP/WAV payloads: image and audio
-    rows decode for real even with fake_decode=False (video would raise,
-    so restrict to the real-codec kinds)."""
-    media = multimodal.synthetic_media(spark, n=30).where(F.col("kind") != "video")
+    """Default fixture carries REAL payloads for ALL kinds (BMP, PCM WAV,
+    uncompressed AVI): every row decodes with fake_decode=False."""
+    media = multimodal.synthetic_media(spark, n=30)
     rows = multimodal.extract_features(media, fake_decode=False).collect()
-    assert len(rows) == 20
+    assert len(rows) == 30
     for r in rows:
         assert len(r.feature) == multimodal.FEATURE_DIM
+
+
+def test_avi_roundtrip_and_features():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(7, 10, 12, 3), dtype=np.uint8)
+    payload = multimodal.encode_avi(frames, fps=10)
+    fps, got = multimodal.decode_avi(payload)
+    assert fps == 10 and got.shape == frames.shape
+    assert (got == frames).all()                    # pixel-exact roundtrip
+    feat = multimodal.video_features(fps, got)
+    assert feat.shape == (multimodal.FEATURE_DIM,)
+    # motion feature responds to actual frame change
+    static = np.repeat(frames[:1], 7, axis=0)
+    assert multimodal.video_features(10, static)[4] == 0.0
+    assert feat[4] > 0.0
+    # odd-size frames exercise row padding; 1-frame video has no motion term
+    f1 = rng.randint(0, 256, size=(1, 5, 7, 3), dtype=np.uint8)
+    fps1, got1 = multimodal.decode_avi(multimodal.encode_avi(f1, fps=4))
+    assert fps1 == 4 and (got1 == f1).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_sample_frames_real_decode(spark):
+    import numpy as np
+
+    media = multimodal.synthetic_media(spark, n=9)
+    vids = {r.media_id: r for r in media.where(F.col("kind") == "video").collect()}
+    rows = multimodal.sample_frames(media, every_ms=500).collect()
+    assert {r.media_id for r in rows} == set(vids)
+    for r in rows:
+        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert r.frame_ts_ms % 500 == 0
+    # per-video frame count: one row per 500ms tick incl. t=0, and frame
+    # features must equal a driver-side decode of the same payload
+    from collections import Counter
+
+    counts = Counter(r.media_id for r in rows)
+    for mid, v in vids.items():
+        fps, frames = multimodal.decode_avi(bytes(v.payload))
+        dur = int(len(frames) * 1000 / fps)
+        assert counts[mid] == dur // 500 + 1
+    r0 = min(rows, key=lambda r: (r.media_id, r.frame_ts_ms))
+    fps, frames = multimodal.decode_avi(bytes(vids[r0.media_id].payload))
+    want = multimodal.image_features(frames[0])
+    assert np.allclose(r0.feature, want, atol=1e-6)
 
 
 def test_char_ngrams_edge_cases(spark):
