@@ -65,3 +65,91 @@ def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental candidate-pair emission
+# (applyInPandasWithState — the streaming analog of candidates.candidate_pairs)
+# ---------------------------------------------------------------------------
+
+
+def streaming_candidate_pairs(keyed: DataFrame, max_state_ids: int = 200) -> DataFrame:
+    """Streaming (doc_id, block_key) rows -> incremental candidate pairs
+    (id_a, id_b, block_key), emitted the moment the LATER member of a pair
+    arrives.
+
+    State per block_key: the sorted set of doc ids seen so far, capped at
+    ``max_state_ids``.  A key that exceeds the cap stops accumulating and
+    stops emitting (streaming stop-key semantics — the same mega-block
+    compromise as the batch path's salting/drop: near-useless keys like an
+    empty host discriminate nothing, and recall is carried by the content
+    passes).  State is therefore O(max_state_ids) per key regardless of
+    stream length, and each pair is emitted exactly once per key (the
+    checkpointed state dedups re-deliveries; cross-key duplicates are left
+    to the consumer's dropDuplicates, exactly like the batch union).
+
+    Union over all micro-batches == the batch candidate set whenever no
+    key exceeds the cap (asserted in tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", StringType()),
+            StructField("id_b", StringType()),
+            StructField("block_key", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("ids", ArrayType(StringType()))])
+
+    def fn(key, pdfs, state):
+        block_key = key[0]
+        seen: list = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
+        incoming: list = []
+        for pdf in pdfs:
+            incoming.extend(pdf["doc_id"].tolist())
+        # deterministic order within the micro-batch; drop re-deliveries
+        new_ids = sorted({d for d in incoming if d is not None and d not in seen_set})
+        ida, idb = [], []
+        for nid in new_ids:
+            if len(seen) >= max_state_ids:
+                break  # stop-key: cap reached, emit nothing further
+            for old in seen:
+                lo, hi = (old, nid) if old < nid else (nid, old)
+                ida.append(lo)
+                idb.append(hi)
+            seen.append(nid)
+            seen_set.add(nid)
+        state.update((sorted(seen),))
+        if ida:
+            yield pd.DataFrame({"id_a": ida, "id_b": idb,
+                                "block_key": [block_key] * len(ida)})
+
+    return keyed.groupBy("block_key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_incremental_pairs(spark: SparkSession, input_dir: str, output_dir: str,
+                          checkpoint_dir: str, watermark: str = "1 hour",
+                          max_state_ids: int = 200):
+    """Catch-up candidate-pair emission: ingest new page files, key them
+    with the SAME expressions as the batch path, and emit the new candidate
+    pairs each page unlocks (stateful, exactly-once per file)."""
+    pages = read_pages_stream(spark, input_dir)
+    keyed = keyed_pages_stream(pages, watermark=watermark)
+    pairs = streaming_candidate_pairs(
+        keyed.select("doc_id", "block_key"), max_state_ids=max_state_ids
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

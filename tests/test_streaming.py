@@ -54,3 +54,41 @@ def test_stream_batch_key_agreement(staged_pages):
     # content-hash keys: stream and batch must agree exactly
     assert streamed.subtract(batch_keys).count() == 0
     assert batch_keys.subtract(streamed).count() == 0
+
+
+def test_streaming_candidate_pairs_stateful(staged_pages):
+    """applyInPandasWithState incremental blocking: the union of pairs
+    emitted across two catch-up runs must equal the BATCH candidate set on
+    the full corpus (every pair emitted exactly once per key when the
+    later member arrives; state survives the restart via the checkpoint)."""
+    from levsim import candidates
+
+    spark, in_dir, _, _, full_df, second = staged_pages
+    out_dir = in_dir + "_pairs_out"
+    ckpt = in_dir + "_pairs_ckpt"
+
+    streaming.run_incremental_pairs(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    n1 = got1.select("id_a", "id_b").distinct().count()
+    assert n1 > 0
+
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_incremental_pairs(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+
+    # per-key exactly-once: no (pair, key) row duplicated across restarts
+    dup = got.groupBy("id_a", "id_b", "block_key").count().where(F.col("count") > 1)
+    assert dup.count() == 0
+
+    # batch equivalence on the same keyed rows (cap never reached here)
+    keyed_batch = blocking.add_block_keys(
+        normalize.with_normalized(full_df, text_col="text", url_col="url"),
+        id_col="url",
+    )
+    want = candidates.candidate_pairs(keyed_batch, max_block_size=10**6,
+                                      keep_pass_provenance=False)
+    sgot = got.select("id_a", "id_b").distinct()
+    assert sgot.subtract(want).count() == 0
+    assert want.subtract(sgot).count() == 0
+    # second run emitted strictly new pairs (the new docs' pairs)
+    assert sgot.count() > n1
