@@ -606,6 +606,25 @@ def q_lev_ratio_trunc(spark, sf_dir):
     )
 
 
+def q_lev_ratio_multiword(spark, sf_dir):
+    """Indel ratio over 80-char prefixes on a deterministic pair subsample
+    (id_a % 20 == 0): both sides exceed 64 code points for 479/500 docs, so
+    the C kernel's MULTIWORD Myers path (W=2 bitmask words, cross-word
+    carries — _ckernels.c indel_one) is what the oracle checks; the 20-char
+    query only ever exercises the single-word path.  Subsampling keeps the
+    O(pairs * len^3) CTE affordable."""
+    from levsim.udfs import lev_ratio_udf
+
+    p = _pairs(spark, sf_dir).where(F.col("id_a") % 20 == 0).select(
+        "id_a", "id_b",
+        F.substring("text_a", 1, 80).alias("ta"),
+        F.substring("text_b", 1, 80).alias("tb"),
+    )
+    return p.select(
+        "id_a", "id_b", F.round(lev_ratio_udf()("ta", "tb"), 6).alias("ratio")
+    )
+
+
 def q_lev_ratio_unicode(spark, sf_dir):
     """Non-ASCII parity through the correctness gate: vowels of the 16-char
     prefixes are translated to multi-byte code points (ä é ø ß) before
@@ -951,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
         "lev_ratio_trunc": q_lev_ratio_trunc,
+        "lev_ratio_multiword": q_lev_ratio_multiword,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
         "jaro_unicode": q_jaro_unicode,
@@ -965,7 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None) -> str:
+def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None,
+                   pair_filter: str = "") -> str:
     """Recursive-CTE indel-distance DP over ``trunc_len``-char prefixes.
 
     DuckDB has no LCS/indel builtin, so the oracle runs the DP itself:
@@ -973,7 +994,11 @@ def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None)
     dependency is removed by the exact min-plus unrolling
     row'[j] = j + min_{k<=j} (m[k] - k) with m[0] = i+1 and
     m[k] = min(prev[k] + 1, prev[k-1] if a_i == b_k) — the same identity
-    the engine's vectorized kernel uses (levsim/kernels.py prefix scan)."""
+    the engine's vectorized kernel uses (levsim/kernels.py prefix scan).
+
+    ``pair_filter``: extra AND-condition on the pair CTE (cost control —
+    the CTE costs ~pairs * trunc_len^3, so long prefixes pair with a
+    deterministic subsample)."""
     ta = f"substr(a.text, 1, {trunc_len})"
     tb = f"substr(b.text, 1, {trunc_len})"
     if translate:
@@ -984,7 +1009,8 @@ def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None)
         "WITH RECURSIVE p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         f"{ta} AS ta, {tb} AS tb "
         "FROM documents a JOIN documents b "
-        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"
+        f"{pair_filter}), "
         "dp AS ("
         "SELECT id_a, id_b, ta, tb, 0 AS i, "
         "list_transform(generate_series(0, length(tb)), j -> j) AS row FROM p "
@@ -1412,6 +1438,8 @@ def oracle_sql() -> dict[str, str]:
         "lev_distance_hint": _P_CTE
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
+        "lev_ratio_multiword": _indel_cte_sql(
+            80, "ratio", pair_filter=" AND a.doc_id % 20 = 0"),
         "lev_ratio_unicode": _indel_cte_sql(
             16, "ratio", translate="aeos/äéøß"),
         "jaro_unicode": _JARO_UNICODE_SQL,
