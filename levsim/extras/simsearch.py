@@ -250,6 +250,12 @@ def embedding_neardup_pairs(
                 for i in range(bands)
             ])).alias("bucket"),
         )
+        # lazy localCheckpoint: both sides of the self-join below share ONE
+        # materialization of the signature UDF (in the broadcast regime the
+        # two join branches otherwise recompute it independently — verified
+        # via executedPlan ArrowEvalPython count).  ids+bucket strings only,
+        # so the materialized footprint is bands x (8B + ~12B) per vector.
+        buckets = buckets.localCheckpoint(eager=False)
         pair_ids = (
             buckets.select(F.col("bucket"), F.col("id").alias("id_a"))
             .join(buckets.select(F.col("bucket"), F.col("id").alias("id_b")), "bucket")
