@@ -153,3 +153,120 @@ def run_incremental_pairs(spark: SparkSession, input_dir: str, output_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: event-time sessionization with timeout
+# (the streaming analog of the batch lag+cumsum sessionizer in
+# __spark_entry__.q_event_sessions — same 30-min-gap semantics)
+# ---------------------------------------------------------------------------
+
+
+def streaming_sessions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", gap_seconds: int = 1800,
+                       watermark: str = "0 seconds") -> DataFrame:
+    """Streaming gap-based sessionization via applyInPandasWithState with
+    EVENT-TIME timeout: per-user state holds the open session (start, end,
+    n_events, all epoch seconds); a session is emitted when a same-user
+    event arrives past the gap (intra-stream close) or when the watermark
+    passes session_end + gap (timeout close — no further event can belong
+    to it, since later-than-watermark events are dropped upstream).
+
+    State is O(1) per active user and is removed on close — the bounded-
+    state contract for an unbounded stream.  Emission is append-mode exact
+    for event-time-ordered arrivals per user; out-of-order arrivals within
+    the watermark merge correctly into the open session, while arrivals
+    for an already-closed session (allowed by a lagging watermark) open a
+    new session — the standard Spark sessionization trade-off."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("end", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        user = key[0]
+
+        def emit(rows):
+            return pd.DataFrame(
+                {"user_id": [user] * len(rows),
+                 "session_start": [r[0] for r in rows],
+                 "session_end": [r[1] for r in rows],
+                 "n_events": [r[2] for r in rows]}
+            )
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield emit([(s, e, n)])
+            return
+        ts: list = []
+        for pdf in pdfs:
+            ts.extend((pdf[ts_col].astype("int64") // 10**9).tolist())
+        ts.sort()
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_seconds:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        if cur is not None and cur[1] + gap_seconds <= wm_sec:
+            closed.append(cur)      # already unreachable by future events
+            cur = None
+        if cur is not None:
+            state.update(cur)
+            # fire once no in-watermark event can extend the session
+            state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield emit(closed)
+
+    ev = events.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias(ts_col)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def run_incremental_sessions(spark: SparkSession, input_dir: str, output_dir: str,
+                             checkpoint_dir: str, schema, gap_seconds: int = 1800,
+                             watermark: str = "0 seconds"):
+    """Catch-up sessionization over an events file stream (one file per
+    micro-batch so the event-time watermark advances between batches)."""
+    events = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(input_dir)
+    )
+    sessions = streaming_sessions(events, gap_seconds=gap_seconds,
+                                  watermark=watermark)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

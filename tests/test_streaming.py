@@ -92,3 +92,61 @@ def test_streaming_candidate_pairs_stateful(staged_pages):
     assert want.subtract(sgot).count() == 0
     # second run emitted strictly new pairs (the new docs' pairs)
     assert sgot.count() > n1
+
+
+def test_streaming_sessions_event_time_timeout(spark, tmp_path):
+    """Event-time sessionization (applyInPandasWithState, EventTimeTimeout):
+    sessions close either when a same-user event arrives past the gap or
+    when the watermark passes session_end + gap; state survives a restart
+    via the checkpoint.  Deterministic file-per-micro-batch script."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    in_dir, out_dir, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    B = 100000  # base offset: an event at exactly the initial watermark (0)
+                # is dropped as late, so keep every timestamp past it
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            [(i, pd.Timestamp(B + t, unit="s"), u) for i, (t, u) in enumerate(rows)],
+            columns=["event_id", "ts", "user_id"],
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(
+            in_dir + "/" + name)
+
+    # micro-batch 1: user1 opens a session (2 events), user2 one event
+    write_file("f1", [(0, 1), (600, 1), (100, 2)])
+    # micro-batch 2: user1 event past the 1800s gap -> session 1 closes
+    # intra-stream, session 2 opens
+    write_file("f2", [(5000, 1)])
+    # micro-batch 3: far-future event advances the watermark past user2's
+    # timeout (1900s) -> user2's session fires on this batch
+    write_file("f3", [(200000, 99)])
+
+    streaming.run_incremental_sessions(
+        spark, in_dir + "/*", out_dir, ckpt, schema)
+    got1 = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out_dir).collect()}
+    # user2's timeout (B+1900) and user1's second-session timeout (B+6800)
+    # both fire within run 1: the final no-data batch evaluates timeouts
+    # against the f3-advanced watermark (B+200000)
+    assert got1 == {(1, B + 0, B + 600, 2), (2, B + 100, B + 100, 1),
+                    (1, B + 5000, B + 5000, 1)}
+
+    # restart: f4 advances the watermark past user99's timeout (B+201800);
+    # state and watermark are reloaded from the checkpoint
+    write_file("f4", [(300000, 98)])
+    write_file("f5", [(400000, 97)])
+    streaming.run_incremental_sessions(
+        spark, in_dir + "/*", out_dir, ckpt, schema)
+    got2 = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == got1 | {(99, B + 200000, B + 200000, 1),
+                           (98, B + 300000, B + 300000, 1)}  # f5's no-data
+    # batch fires 98's timeout too; only user97 stays open in state
