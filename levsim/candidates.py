@@ -28,6 +28,7 @@ def candidate_pairs(
     max_block_size: int = 200,
     keep_pass_provenance: bool = True,
     drop_block_size: int | None = None,
+    share_blocks: bool = True,
 ) -> DataFrame:
     """blocks(doc_id, block_pass, block_key) -> pairs(id_a, id_b[, block_key, block_pass]).
 
@@ -60,6 +61,17 @@ def candidate_pairs(
     ).withColumn(
         "join_key", F.concat_ws("#", F.col("block_key"), F.col("salt"))
     )
+    if share_blocks:
+        # one materialization of the keyed/salted table for BOTH self-join
+        # branches: in the broadcast regime the two sides otherwise
+        # recompute the band-key UDF and the size window independently
+        # (ReuseExchange only dedups identical shuffled-join exchanges —
+        # verified via executedPlan ArrowEval/Window counts).  Rows are
+        # ids + key strings only, never text, so the footprint is the same
+        # data the join shuffle would spill anyway.  Set share_blocks=False
+        # on a real cluster to keep full lineage-based fault recovery and
+        # let exchange reuse do the deduplication in the SMJ regime.
+        b = b.localCheckpoint(eager=False)
     left = b.select(
         F.col("join_key"),
         F.col("doc_id").alias("id_a"),
