@@ -21,17 +21,35 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 
-def cosine_col(va, vb) -> F.Column:
-    """Cosine similarity of two array<float/double> columns — pure JVM
-    higher-order functions, stays inside codegen."""
-    dot = F.aggregate(
+def norm_col(v) -> F.Column:
+    """L2 norm of an array<float/double> column (JVM higher-order fns)."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def dot_col(va, vb) -> F.Column:
+    """Dot product of two array<float/double> columns (JVM higher-order fns)."""
+    return F.aggregate(
         F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_from_norms(va, vb, na, nb) -> F.Column:
+    """Cosine given precomputed side norms.  Spark's higher-order functions
+    are INTERPRETED (no codegen), so an O(N*Q) pair stage must not
+    recompute each side's norm per pair — precompute them per side (N + Q
+    aggregates instead of 2*N*Q) and pay only the dot per pair.  The float
+    expression tree (dot / (na * nb)) is unchanged, so results are
+    bit-identical to cosine_col."""
+    return F.when((na > 0) & (nb > 0), dot_col(va, vb) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_col(va, vb) -> F.Column:
+    """Cosine similarity of two array<float/double> columns — pure JVM
+    higher-order functions.  For pairwise stages prefer cosine_from_norms
+    (norms hoisted out of the O(N*Q) loop)."""
+    return cosine_from_norms(va, vb, norm_col(va), norm_col(vb))
 
 
 def brute_force_topk(
@@ -46,10 +64,14 @@ def brute_force_topk(
     ties broken by neighbor id for determinism."""
     from pyspark.sql import Window
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+                      norm_col(F.col(vec_col)).alias("cnorm"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       norm_col(F.col(vec_col)).alias("qnorm"))
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", F.round(cosine_col(F.col("cvec"), F.col("qvec")), 6)
+        "cosine",
+        F.round(cosine_from_norms(F.col("cvec"), F.col("qvec"),
+                                  F.col("cnorm"), F.col("qnorm")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -227,8 +249,12 @@ def embedding_neardup_pairs(
     method='lsh': hyperplane-signature band self-join then cosine verify —
     the scale path; recall < 1 by construction (measured vs brute in
     tests), candidates bounded by bucket sizes instead of N^2."""
-    c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms hoisted out of the pair stage (HOFs are interpreted; see
+    # cosine_from_norms) — N + N aggregates instead of 2x per pair
+    c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      norm_col(F.col(vec_col)).alias("na"))
+    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      norm_col(F.col(vec_col)).alias("nb"))
     if method == "brute":
         cand = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -267,8 +293,11 @@ def embedding_neardup_pairs(
     else:
         raise ValueError(f"unknown method {method!r}")
     return (
-        cand.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")),
-                                          round_decimals))
+        cand.withColumn(
+            "cosine",
+            F.round(cosine_from_norms(F.col("va"), F.col("vb"),
+                                      F.col("na"), F.col("nb")), round_decimals),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
