@@ -575,6 +575,22 @@ def q_ivf_topk(spark, sf_dir):  # rows-only (k-means cells not SQL-expressible)
     return ivf_topk(e, q, k=3, nlist=8, nprobe=3)
 
 
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact-dedup groups (hash-groupBy with the two-phase bounded dup_ids
+    cap) over 40-char text prefixes — the full corpus has no byte-identical
+    texts at sf0.01, prefixes give 23 real groups.  The oracle regroups by
+    the prefix itself (the xxhash64 key is engine-internal and not
+    emitted), so group membership, counts, survivor choice and the sorted
+    capped id list are all value-checked."""
+    from levsim.extras.dedup import exact_duplicates
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    g = exact_duplicates(d, "doc_id", "text", max_dup_ids=5)
+    return g.select("keep_id", "n_dups", "dup_ids")
+
+
 def q_minhash_dedup_pairs(spark, sf_dir):  # hard oracle: SQL band-key replica
     from levsim.extras.dedup import minhash_candidate_pairs
 
@@ -966,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_distance_hint": q_lev_distance_hint,
         "event_sessions": q_event_sessions,
         "ivf_topk": q_ivf_topk,
+        "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
@@ -1476,6 +1493,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_md5_pairs": _minhash_md5_sql(_minhash_perms(), rows_per_band=2),
         # production blake2b-free hash paths, recomputed stage-by-stage in
         # SQL (round-3: these two leave the rows-only list)
+        "exact_dup_groups": (
+            "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups, "
+            "(array_agg(doc_id ORDER BY doc_id))[1:5] AS dup_ids "
+            "FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents) "
+            "GROUP BY t HAVING count(*) > 1"
+        ),
         "minhash_dedup_pairs": _minhash_pairs_oracle_sql(
             n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED),
         "simhash_pairs": _simhash_pairs_oracle_sql(max_hamming=8),
