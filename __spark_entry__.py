@@ -448,6 +448,33 @@ def q_punct_alpha_stats(spark, sf_dir):
     )
 
 
+def q_quality_components(spark, sf_dir):
+    """Every input to the composite quality_score as EXACT integers:
+    token count, distinct-token count (repetition ratio), non-whitespace
+    chars (avg word length), en-stopword hits, and the word-length-window
+    flag — the alpha/punct inputs are already value-checked by
+    punct_alpha_stats.  wl_ok's double thresholds (3.0 <= nonspace/ntok <=
+    12.0) are emitted via the equivalent integer comparisons
+    (nonspace >= 3*ntok etc.; a double quotient of longs cannot round
+    across the boundary unless it IS the boundary)."""
+    from levsim.extras.textstats import STOPWORDS
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    d = _docs(spark, sf_dir).where(F.length("text") > 0).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("long").alias("nonspace_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("long").alias("stop_hits_en"),
+    )
+    return d.withColumn(
+        "wl_ok",
+        ((F.col("nonspace_chars") >= 3 * F.col("n_tokens"))
+         & (F.col("nonspace_chars") <= 12 * F.col("n_tokens"))).cast("int"),
+    )
+
+
 def q_lang_id_pred(spark, sf_dir):
     from levsim.extras.textstats import lang_id
 
@@ -973,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "token_stats_lang": q_token_stats_lang,
         "punct_alpha_stats": q_punct_alpha_stats,
+        "quality_components": q_quality_components,
         "lang_id_pred": q_lang_id_pred,
         "fingerprint_docs": q_fingerprint_docs,
         "embedding_norm": q_embedding_norm,
@@ -1412,6 +1440,20 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000 // length(text) AS alpha_ppm, "
             "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) "
             "* 1000000 // length(text) AS punct_ppm "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        "quality_components": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) "
+            "AS n_distinct_tokens, "
+            "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nonspace_chars, "
+            "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'was'], t))) AS BIGINT) AS stop_hits_en, "
+            "CAST(length(regexp_replace(text, '\\s+', '', 'g')) "
+            ">= 3 * len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AND length(regexp_replace(text, '\\s+', '', 'g')) "
+            "<= 12 * len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS wl_ok "
             "FROM documents WHERE length(text) > 0"
         ),
         "lang_id_pred": (
