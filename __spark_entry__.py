@@ -448,6 +448,23 @@ def q_punct_alpha_stats(spark, sf_dir):
     )
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish token counts per doc (the brief's two token
+    units).  The BPE-ish pattern is lookahead-free by construction so the
+    byte-identical regex runs under Java regex and RE2 — counts plus the
+    first three pretokens are value-checked."""
+    from levsim.extras.textstats import bpe_ish_tokens, token_count
+
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    bt = bpe_ish_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.size(bt).cast("long").alias("bpe_tokens"),
+        F.slice(bt, 1, 3).alias("first_pretokens"),
+    )
+
+
 def q_quality_components(spark, sf_dir):
     """Every input to the composite quality_score as EXACT integers:
     token count, distinct-token count (repetition ratio), non-whitespace
@@ -1000,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "token_stats_lang": q_token_stats_lang,
         "punct_alpha_stats": q_punct_alpha_stats,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
         "lang_id_pred": q_lang_id_pred,
         "fingerprint_docs": q_fingerprint_docs,
@@ -1440,6 +1458,13 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000 // length(text) AS alpha_ppm, "
             "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) "
             "* 1000000 // length(text) AS punct_ppm "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens, "
+            "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens, "
+            "(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))[1:3] AS first_pretokens "
             "FROM documents WHERE length(text) > 0"
         ),
         "quality_components": (

@@ -36,6 +36,26 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pretokenizer alternation, simplified to be LOOKAHEAD-FREE so
+#: the identical pattern runs under both Java regex (Spark) and RE2
+#: (DuckDB, which rejects lookahead): an optional leading space glued to a
+#: letter run, digit run, or symbol run.  Whitespace runs beyond the glued
+#: space are skipped (they separate tokens; the reference GPT-2 pattern
+#: additionally emits whitespace tokens, which pure counting doesn't need).
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col) -> Column:
+    """BPE-style pretokens (array<string>) — the subword-boundary token
+    unit LLM-data pipelines budget by, vs the whitespace tokens() above."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def char_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -491,3 +491,17 @@ def test_ivf_assign_vectorized():
             nrm = np.linalg.norm(x)
             sims = cents @ (x / nrm if nrm > 1e-12 else x)
             assert cells == [int(c) for c in np.argsort(-sims)[:n_cells]]
+
+
+def test_bpe_ish_tokens(spark):
+    rows = [(1, "Hello world, it's 42 degrees!"), (2, ""), (3, "  a  b "),
+            (4, "abc123!?x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.t for r in df.select(
+        "doc_id", textstats.bpe_ish_tokens(F.col("text")).alias("t")).collect()}
+    assert got[1] == ["Hello", " world", ",", " it", "'", "s", " 42", " degrees", "!"]
+    assert got[2] == []
+    assert got[3] == [" a", " b"]          # extra whitespace never merges tokens
+    assert got[4] == ["abc", "123", "!?", "x"]
+    n = df.select(textstats.bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    assert [r.n for r in n] == [9, 0, 2, 4]
