@@ -498,6 +498,19 @@ def q_lang_id_pred(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (Cavnar–Trenkle-style presence argmax
+    over deterministic boundary-trigram profiles) — the n-gram sibling of
+    the stopword-hit lang_id_pred; both emitted for cross-method audit."""
+    from levsim.extras.textstats import lang_id, lang_id_ngram
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        lang_id_ngram(F.col("text")).alias("lang_ngram"),
+        lang_id(F.col("text")).alias("lang_stop"),
+    )
+
+
 def q_fingerprint_docs(spark, sf_dir):
     from levsim.extras.textstats import fingerprint
 
@@ -1020,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
         "lang_id_pred": q_lang_id_pred,
+        "lang_id_ngram": q_lang_id_ngram,
         "fingerprint_docs": q_fingerprint_docs,
         "embedding_norm": q_embedding_norm,
         "cosine_topk": q_cosine_topk,
@@ -1337,6 +1351,39 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
+def _lang_ngram_oracle_sql() -> str:
+    """Replicates lang_id_ngram: distinct-boundary-trigram presence argmax
+    per language (presence only, so byte- vs char-position differences
+    between engines cannot matter), ties by language code, 'und' on zero.
+    The same SQL shape as the stopword lang_hits oracle."""
+    from levsim.extras.textstats import LANG_TRIGRAMS, STOPWORDS
+
+    def hits(lang: str) -> str:
+        terms = " + ".join(
+            f"CASE WHEN strpos(' ' || lower(text) || ' ', '{g}') > 0 THEN 1 ELSE 0 END"
+            for g in LANG_TRIGRAMS[lang]
+        )
+        return f"SELECT doc_id, '{lang}' AS lang, {terms} AS n FROM documents"
+
+    ngram_hits = " UNION ALL ".join(hits(lang) for lang in sorted(LANG_TRIGRAMS))
+    stop_hits = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, {_stop_sql(lang)} AS n FROM documents"
+        for lang in sorted(STOPWORDS)
+    )
+    return (
+        f"WITH ng AS ({ngram_hits}), "
+        "ngb AS (SELECT doc_id, (array_agg(lang ORDER BY n DESC, lang ASC))[1] AS lp, "
+        "max(n) AS mx FROM ng GROUP BY doc_id), "
+        f"sp AS ({stop_hits}), "
+        "spb AS (SELECT doc_id, (array_agg(lang ORDER BY n DESC, lang ASC))[1] AS lp, "
+        "max(n) AS mx FROM sp GROUP BY doc_id) "
+        "SELECT ngb.doc_id, "
+        "CASE WHEN ngb.mx > 0 THEN ngb.lp ELSE 'und' END AS lang_ngram, "
+        "CASE WHEN spb.mx > 0 THEN spb.lp ELSE 'und' END AS lang_stop "
+        "FROM ngb JOIN spb ON ngb.doc_id = spb.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     ham = (
         "hamming(substr(text_a, 1, least(length(text_a), length(text_b))), "
@@ -1487,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
             "max(n) AS mx FROM hits GROUP BY doc_id) "
             "SELECT doc_id, CASE WHEN mx > 0 THEN lp ELSE 'und' END AS lang_pred FROM best"
         ),
+        "lang_id_ngram": _lang_ngram_oracle_sql(),
         "fingerprint_docs": (
             "SELECT doc_id, list_reduce("
             "list_prepend(CAST(0 AS BIGINT), "

@@ -117,6 +117,51 @@ def quality_score(col, lang: str = "en") -> Column:
     return F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6)
 
 
+def _lang_trigram_profiles() -> dict:
+    """Per-language boundary-trigram profiles (Cavnar–Trenkle style),
+    derived deterministically from the stopword lexicon: every 3-gram of
+    each space-padded stopword.  Content-free constants — identical in any
+    engine that substring-scans the same text."""
+    profiles = {}
+    for lang, words in STOPWORDS.items():
+        grams = []
+        for w in words:
+            padded = f" {w} "
+            for i in range(len(padded) - 2):
+                g = padded[i:i + 3]
+                if g not in grams:
+                    grams.append(g)
+        profiles[lang] = sorted(grams)
+    return profiles
+
+
+LANG_TRIGRAMS = _lang_trigram_profiles()
+
+
+def lang_trigram_hits(col, lang: str) -> Column:
+    """Number of DISTINCT profile trigrams present in the space-padded
+    lowercased text (presence, not frequency — robust to doc length)."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    hits = [F.when(F.instr(padded, g) > 0, 1).otherwise(0)
+            for g in LANG_TRIGRAMS[lang]]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def lang_id_ngram(col) -> Column:
+    """Character-n-gram language ID (the brief's 'n-gram heuristic'):
+    argmax of distinct boundary-trigram hits against each language profile;
+    ties break by language-code order; 'und' on zero hits everywhere."""
+    pairs = [(lang, lang_trigram_hits(col, lang)) for lang in sorted(LANG_TRIGRAMS)]
+    best = F.greatest(*[F.struct(h.alias("h"), F.lit(len(pairs) - i).alias("o"),
+                                 F.lit(lang).alias("lang"))
+                        for i, (lang, h) in enumerate(pairs)])
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def lang_id(col) -> Column:
     """argmax of per-language stopword hits; 'und' when no hits.  Ties break
     by language-code order (deterministic)."""
