@@ -288,3 +288,35 @@ def snapshot_id_for(stage: str, params: dict, inputs: List[str]) -> str:
     for i in inputs:
         h.update(i.encode())
     return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: shuffle-free co-located joins (the 100 TB join lever)
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(df, name: str, path: str, bucket_cols, n_buckets: int = 64,
+                   sort_cols=None, mode: str = "overwrite"):
+    """Persist ``df`` as a bucketed (+optionally sorted) parquet table.
+
+    Bucketing pre-shuffles ONCE at write time: every later equi-join or
+    aggregation on ``bucket_cols`` between tables bucketed the same way
+    runs with ZERO exchanges (asserted in test_tables) — at 100 TB this is
+    the difference between re-shuffling the 20 TB docs table per pipeline
+    run and never shuffling it again.  Natural uses here: docs bucketed by
+    doc_id (scoring's attach-texts joins), band tables by block_key.
+
+    Spark requires saveAsTable for bucket metadata; with an explicit path
+    the table is external — dropping it later removes metadata only."""
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format("parquet").bucketBy(n_buckets, *bc)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    w.option("path", path).mode(mode).saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table WITH its bucket spec (a plain
+    spark.read.parquet(path) would discard it and re-shuffle on join)."""
+    return spark.table(name)
