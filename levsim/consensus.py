@@ -115,23 +115,33 @@ def elect_representatives(
     (deterministic sample: lowest doc ids)."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import Window
+
     df = clustered.select(
         F.col("cluster_id").cast("string").alias("cluster_id"),
         F.col(id_col).cast("string").alias(id_col),
         F.col(text_col).alias(text_col),
     )
+    # ONE hash exchange on cluster_id serves everything below: the cap
+    # window, the size window (replaces the old groupBy+join round-trip),
+    # and applyInPandas' required clustering all share it (verified: a
+    # single Exchange in the executed plan).  Megacluster caveat: the cap
+    # window still sorts each cluster in one task — use
+    # elect_representatives_hierarchical when clusters can exceed task
+    # memory.
     if max_members is not None:
-        from pyspark.sql import Window
-
         wnd = Window.partitionBy("cluster_id").orderBy(id_col)
         df = df.withColumn("_rn", F.row_number().over(wnd)).where(
             F.col("_rn") <= max_members
         ).drop("_rn")
+    df = df.withColumn("_n", F.count("*").over(Window.partitionBy("cluster_id")))
+    # one materialization for BOTH union branches below (Spark does not CSE
+    # a shared subtree across union arms — without this the exchange and
+    # windows execute twice, once per branch)
+    df = df.localCheckpoint(eager=False)
     # singleton fast path: in web dedup most clusters have one member, and
     # every median variant of a single string is that string — keep those
     # rows entirely JVM-side and run Python only on multi-member clusters
-    sizes = df.groupBy("cluster_id").agg(F.count("*").alias("_n"))
-    df = df.join(sizes, "cluster_id")
     singles = df.where(F.col("_n") == 1).select(
         "cluster_id",
         F.lit(1).cast("long").alias("n_members"),
