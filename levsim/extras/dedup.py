@@ -221,6 +221,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("band_key"),
     )
+    # one signature-UDF materialization for both self-join branches (the
+    # broadcast regime defeats ReuseExchange; same fix as candidate_pairs)
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(F.col("band_key"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = bands.select(F.col("band_key"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (
