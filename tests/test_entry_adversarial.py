@@ -68,6 +68,8 @@ def adversarial_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", [
     "punct_alpha_stats", "topk_jw_matches", "token_jaccard_pairs",
     "jaro_winkler_pairs", "lev_ratio_trunc", "char_ngram_jaccard",
+    "quality_components", "bpe_token_counts", "lang_id_ngram",
+    "exact_dup_groups",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]
