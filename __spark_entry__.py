@@ -364,6 +364,22 @@ def q_block_pair_counts(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernández-Stolfo): every pair within a
+    6-wide sliding window over docs sorted by the first 10 chars of the
+    token-sorted key.  Spark side computes global ranks WITHOUT a global
+    window (range partition + local ranks + offsets, levsim/blocking.py
+    global_sort_ranks) and pairs via a dense-bucket equi-join; the oracle is
+    the textbook row_number self-join."""
+    from levsim.blocking import sorted_neighborhood_pairs
+    from levsim.normalize import token_sort_key
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(token_sort_key(F.col("text")), 1, 10).alias("sk")
+    )
+    return sorted_neighborhood_pairs(d, "doc_id", "sk", window=6, num_ranges=8)
+
+
 def q_topk_jw_matches(spark, sf_dir):
     from levsim.udfs import lev_jaro_winkler_udf
 
@@ -676,6 +692,27 @@ def q_lev_ratio_trunc(spark, sf_dir):
     )
     return p.select(
         "id_a", "id_b", F.round(lev_ratio_udf()("ta", "tb"), 6).alias("ratio")
+    )
+
+
+def q_token_sort_ratio(spark, sf_dir):
+    """token_sort_ratio — the north-star's "token-sortratio prefilter"
+    scorer: both sides are normalized, word-tokenized, alphabetically
+    sorted and re-joined (pure Catalyst expressions, levsim/normalize.py
+    token_sort_key), then scored with the indel ratio kernel on 20-char
+    prefixes of the sorted key.  Word-order shuffles score 1.0.  Oracle:
+    the same recursive-CTE indel DP with the token sort applied in SQL
+    (list_sort is binary-collation == Spark array_sort on ASCII)."""
+    from levsim.normalize import token_sort_key
+    from levsim.udfs import lev_ratio_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.substring(token_sort_key(F.col("text_a")), 1, 20).alias("ta"),
+        F.substring(token_sort_key(F.col("text_b")), 1, 20).alias("tb"),
+    )
+    return p.select(
+        "id_a", "id_b", F.round(lev_ratio_udf()("ta", "tb"), 6).alias("tsr")
     )
 
 
@@ -1024,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quickmedian_groups": q_quickmedian_groups,
         "median_groups": q_median_groups,
         "block_pair_counts": q_block_pair_counts,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "topk_jw_matches": q_topk_jw_matches,
         "length_histogram": q_length_histogram,
         "distinct_text_stats": q_distinct_text_stats,
@@ -1047,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
         "lev_ratio_trunc": q_lev_ratio_trunc,
+        "token_sort_ratio": q_token_sort_ratio,
         "lev_ratio_multiword": q_lev_ratio_multiword,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
@@ -1063,7 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None,
-                   pair_filter: str = "") -> str:
+                   pair_filter: str = "", text_sql: str = "{s}.text") -> str:
     """Recursive-CTE indel-distance DP over ``trunc_len``-char prefixes.
 
     DuckDB has no LCS/indel builtin, so the oracle runs the DP itself:
@@ -1075,9 +1114,13 @@ def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None,
 
     ``pair_filter``: extra AND-condition on the pair CTE (cost control —
     the CTE costs ~pairs * trunc_len^3, so long prefixes pair with a
-    deterministic subsample)."""
-    ta = f"substr(a.text, 1, {trunc_len})"
-    tb = f"substr(b.text, 1, {trunc_len})"
+    deterministic subsample).
+
+    ``text_sql``: per-side input expression template ("{s}" is the table
+    alias) — lets the same DP oracle score transformed inputs, e.g. the
+    token-sorted key of token_sort_ratio."""
+    ta = f"substr({text_sql.format(s='a')}, 1, {trunc_len})"
+    tb = f"substr({text_sql.format(s='b')}, 1, {trunc_len})"
     if translate:
         frm, to = translate.split("/")
         ta = f"translate({ta}, '{frm}', '{to}')"
@@ -1465,6 +1508,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "block_pair_counts": _P_CTE
         + "SELECT lang, source, count(*) AS n_pairs FROM p GROUP BY lang, source",
+        "sorted_neighborhood": (
+            "WITH k AS (SELECT doc_id, substr(array_to_string(list_sort("
+            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), "
+            "' '), 1, 10) AS sk FROM documents), "
+            "r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 AS rnk "
+            "FROM k) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(b.rnk - a.rnk AS INT) AS gap "
+            "FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 5"
+        ),
         "topk_jw_matches": _P_CTE
         + (
             "SELECT id_a, id_b, jw, rnk FROM ("
@@ -1570,6 +1623,13 @@ def oracle_sql() -> dict[str, str]:
         "lev_distance_hint": _P_CTE
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
+        "token_sort_ratio": _indel_cte_sql(
+            20, "tsr",
+            text_sql=(
+                "array_to_string(list_sort(string_split(trim(regexp_replace("
+                "lower({s}.text), '\\s+', ' ', 'g')), ' ')), ' ')"
+            ),
+        ),
         "lev_ratio_multiword": _indel_cte_sql(
             80, "ratio", pair_filter=" AND a.doc_id % 20 = 0"),
         "lev_ratio_unicode": _indel_cte_sql(

@@ -254,3 +254,99 @@ def add_block_keys(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def global_sort_ranks(df: DataFrame, key_cols: List[str], num_ranges: int = 0) -> DataFrame:
+    """Dense global rank (0-based) over ``key_cols`` WITHOUT a single-task
+    global window.
+
+    Scale shape: ``repartitionByRange`` gives a total order across
+    partitions; each partition ranks locally (window keyed by partition id,
+    so per-task state = one range split), and a tiny per-partition count
+    aggregate (num_ranges rows, driver cumulative sum) turns local ranks
+    into global ones.  A plain ``row_number().over(Window.orderBy(...))``
+    would ship every row to ONE task — the classic 100 TB killer.
+
+    ``key_cols`` must be a total order (append a unique id as tiebreaker).
+    Returns df's columns plus ``rnk``.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n, *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # one materialization: the count aggregate and the rank projection
+        # both read it (Spark does not CSE shared subtrees across jobs)
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    odf = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w_local = Window.partitionBy("_pid").orderBy(*key_cols)
+    return (
+        ranged.withColumn("_lr", F.row_number().over(w_local))
+        .join(F.broadcast(odf), "_pid")
+        .withColumn("rnk", F.col("_lr") - 1 + F.col("_off"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    num_ranges: int = 0,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate generation: records are sorted by
+    a blocking key and every pair within a sliding window of ``window``
+    consecutive records becomes a candidate (rank gap 1..window-1).
+
+    Classic ER blocking (Hernández & Stolfo 1995) complementing the exact
+    key passes in ``add_block_keys``: it finds near-misses whose keys are
+    CLOSE but not equal (typos in the first chars of a host or sort key),
+    which equality blocking can never pair.
+
+    Scale shape: global ranks via :func:`global_sort_ranks` (no single-task
+    sort), then neighbor pairing as an equi-join on bucket id — each record
+    lands in bucket ``rnk div (window-1)`` and probes buckets g and g+1, so
+    every qualifying pair is matched exactly once and the join is a plain
+    hash join on a dense integer key (no range join, no skew: buckets have
+    exactly window-1 rows).
+
+    Returns (id_a, id_b, gap) with id_a the lower-RANKED record, gap in
+    [1, window-1].
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    s = window - 1
+    slim = df.select(F.col(id_col).alias("doc_id"), F.col(key_col).alias("sk"))
+    ranked = global_sort_ranks(slim, ["sk", "doc_id"], num_ranges)
+    # ids+ranks only (ints) — and one materialization shared by both join
+    # branches (self-join of a derived DF recomputes it otherwise)
+    ranked = ranked.select("doc_id", "rnk").localCheckpoint(eager=False)
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("rnk").alias("rank_a"),
+        F.explode(F.array(F.expr(f"rnk div {s}"), F.expr(f"rnk div {s} + 1"))).alias("g"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("rnk").alias("rank_b"),
+        F.expr(f"rnk div {s}").alias("g"),
+    )
+    return (
+        a.join(b, "g")
+        .where((F.col("rank_b") - F.col("rank_a")).between(1, s))
+        .select(
+            "id_a", "id_b", (F.col("rank_b") - F.col("rank_a")).cast("int").alias("gap")
+        )
+    )

@@ -155,3 +155,63 @@ def test_jw_prefilter_bound_is_exact(spark):
     with pytest.raises(ValueError):
         jaro_winkler_length_bound(F.length("a"), F.length("b"), tau,
                                   prefix_weight=0.3)
+
+
+def test_sorted_neighborhood_matches_naive_window(spark):
+    """Distributed SNM (range ranks + bucket join) == the textbook
+    single-window formulation, at several window sizes and range counts."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from levsim.blocking import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("abcd") for _ in range(4))) for i in range(83)]
+    df = spark.createDataFrame(rows, "doc_id long, sk string")
+
+    for window, nrng in [(2, 3), (4, 5), (6, 16)]:
+        got = {
+            (r.id_a, r.id_b, r.gap)
+            for r in sorted_neighborhood_pairs(
+                df, "doc_id", "sk", window=window, num_ranges=nrng
+            ).collect()
+        }
+        ranked = df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy("sk", "doc_id")) - 1
+        )
+        a = ranked.select(F.col("doc_id").alias("id_a"), F.col("rnk").alias("ra"))
+        b = ranked.select(F.col("doc_id").alias("id_b"), F.col("rnk").alias("rb"))
+        want = {
+            (r.id_a, r.id_b, r.rb - r.ra)
+            for r in a.crossJoin(b)
+            .where((F.col("rb") - F.col("ra")).between(1, window - 1))
+            .collect()
+        }
+        assert got == want, f"window={window} num_ranges={nrng}"
+
+
+def test_global_sort_ranks_dense_and_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from levsim.blocking import global_sort_ranks
+
+    rows = [(i, f"k{i % 10}") for i in range(57)]
+    df = spark.createDataFrame(rows, "doc_id long, sk string")
+    out = global_sort_ranks(df, ["sk", "doc_id"], num_ranges=7).collect()
+    assert sorted(r.rnk for r in out) == list(range(57))
+    by_rank = sorted(out, key=lambda r: r.rnk)
+    assert [(r.sk, r.doc_id) for r in by_rank] == sorted(
+        (r.sk, r.doc_id) for r in out
+    )
+
+
+def test_sorted_neighborhood_window_validation(spark):
+    import pytest as _pytest
+
+    from levsim.blocking import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, sk string")
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "doc_id", "sk", window=1)
