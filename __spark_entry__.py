@@ -430,6 +430,20 @@ def q_token_jaccard_pairs(spark, sf_dir):
     return p.where(F.col("n_inter") * 5 >= F.col("n_union"))
 
 
+def q_prefix_jaccard_join(spark, sf_dir):
+    """PPJoin-style prefix-filtered ALL-PAIRS shingle-Jaccard self-join
+    (J >= 0.5 on word bigrams) — no blocking key at all.  The DuckDB oracle
+    brute-forces all C(500,2)=124,750 pairs, so a green row is a
+    recall-COMPLETE proof the prefix filter loses no qualifying pair.
+    Integers only (inter, uni): a rounded jacc float would reintroduce the
+    2^k-union HALF_UP tie flake documented at q_token_jaccard_pairs."""
+    from levsim.extras.dedup import prefix_filtered_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    out = prefix_filtered_jaccard_pairs(d, "doc_id", "text", threshold=0.5, shingle_k=2)
+    return out.select("id_a", "id_b", "inter", "uni")
+
+
 def q_token_stats_lang(spark, sf_dir):
     from levsim.extras.textstats import token_count
 
@@ -1066,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "distinct_text_stats": q_distinct_text_stats,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "prefix_jaccard_join": q_prefix_jaccard_join,
         "token_stats_lang": q_token_stats_lang,
         "punct_alpha_stats": q_punct_alpha_stats,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1540,6 +1555,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id_a, id_b, CAST({jacc_inter} AS BIGINT) AS n_inter, "
             f"CAST({jacc_union} AS BIGINT) AS n_union FROM p "
             f"WHERE {jacc_inter} * 5 >= {jacc_union}"
+        ),
+        "prefix_jaccard_join": (
+            # brute-force all-pairs oracle: bigram shingles (< 2 tokens fall
+            # back to the token list, mirroring word_shingles_col), exact
+            # integer predicate inter*2 >= uni <=> J >= 0.5
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+            "shg AS (SELECT doc_id, list_distinct(CASE WHEN length(tk) >= 2 "
+            "THEN list_transform(generate_series(1, length(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1]) ELSE tk END) AS sh FROM toks), "
+            "s AS (SELECT doc_id, sh, length(sh) AS n FROM shg WHERE length(sh) > 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(length(list_intersect(a.sh, b.sh)) AS INT) AS inter, "
+            "CAST(a.n + b.n - length(list_intersect(a.sh, b.sh)) AS INT) AS uni "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE length(list_intersect(a.sh, b.sh)) * 2 >= "
+            "a.n + b.n - length(list_intersect(a.sh, b.sh))"
         ),
         "token_stats_lang": (
             # CAST: DuckDB sum() over integers yields HUGEINT (surfaces as

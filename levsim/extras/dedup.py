@@ -440,3 +440,101 @@ def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("jaccard") >= tau)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """All-pairs word-shingle-Jaccard >= ``threshold`` WITHOUT blocking keys
+    and WITHOUT an all-pairs join — PPJoin-style prefix filtering
+    (Chaudhuri/Ganti/Kaushik SSJoin 2006, Xiao et al. PPJoin 2008).
+
+    Losslessness (why prefix-to-prefix join misses nothing): order all
+    shingles by a global total order (document frequency ascending, then
+    lexicographic).  If J(A,B) >= t, let c be the first common shingle in
+    that order.  Every A-shingle before c is absent from B, so if c sat
+    beyond A's first |A| - ceil(t|A|) + 1 shingles then >= ceil(t|A|)
+    A-shingles would be absent from B — contradicting
+    |A∩B| >= t|A∪B| >= t|A|.  Symmetrically for B, so c lies in both
+    prefixes and the equi-join on prefix shingles finds every qualifying
+    pair.  The final predicate is an exact integer cross-multiply
+    (inter * den >= num * uni), never a float compare.
+
+    Scale shape: candidate generation shuffles only (shingle, id, set-size)
+    rows from the prefixes — rarest-first ordering keeps frequent shingles
+    out of prefixes, which is what bounds join fan-out; full shingle sets
+    re-join by id for the verify stage (id-keyed, data-parallel).  The
+    driver query's DuckDB oracle brute-forces all pairs at sf0.01 and
+    asserts exact set equality — a recall-complete check of the filter.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    tn, td = frac.numerator, frac.denominator
+    if not 0 < frac <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+
+    sets = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        # consumed by three branches (prefix build, both verify sides):
+        # one materialization instead of three scans+shingle transforms
+        .localCheckpoint(eager=False)
+    )
+    toks = sets.select("doc_id", F.explode("sh").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfq"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "tok"))).alias("arr"))
+        .withColumn("n", F.size("arr"))
+    )
+    # prefix length n - ceil(t*n) + 1 with ceil as exact integer arithmetic
+    pref = (
+        ordered.select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(f"slice(arr, 1, n - ((n * {tn} + {td} - 1) div {td}) + 1)")
+            ).alias("s"),
+        )
+        .select("doc_id", "n", F.col("s.tok").alias("tok"))
+        # both self-join branches read this — materialize once
+        .localCheckpoint(eager=False)
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "tok")
+    b = pref.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: J >= t forces t|A| <= |B| and t|B| <= |A|
+            & (F.col("nb") * td >= F.col("na") * tn)
+            & (F.col("na") * td >= F.col("nb") * tn)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("uni", F.size("sha") + F.size("shb") - F.col("inter"))
+        .where(F.col("inter") * td >= F.col("uni") * tn)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("int").alias("inter"),
+            F.col("uni").cast("int").alias("uni"),
+            F.round(F.col("inter") * F.lit(1.0) / F.col("uni"), 6).alias("jacc"),
+        )
+    )

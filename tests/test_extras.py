@@ -505,3 +505,63 @@ def test_bpe_ish_tokens(spark):
     assert got[4] == ["abc", "123", "!?", "x"]
     n = df.select(textstats.bpe_ish_token_count(F.col("text")).alias("n")).collect()
     assert [r.n for r in n] == [9, 0, 2, 4]
+
+
+def _brute_jaccard_pairs(texts, threshold, shingle_k):
+    """Plain-Python brute force over word k-shingle sets."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        if len(toks) >= shingle_k:
+            sh = {" ".join(toks[j:j + shingle_k]) for j in range(len(toks) - shingle_k + 1)}
+        else:
+            sh = set(toks)
+        if sh:
+            sets[i] = sh
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * frac.denominator >= uni * frac.numerator:
+                out.add((a, b, inter, uni))
+    return out
+
+
+@pytest.mark.parametrize("threshold,shingle_k", [(0.5, 2), (0.34, 2), (0.7, 1)])
+def test_prefix_jaccard_join_is_lossless(spark, threshold, shingle_k):
+    """Prefix-filtered self-join == brute force: the filter loses no pair
+    and admits no false positive, at dyadic and non-dyadic thresholds and
+    both shingle sizes (k=1 exercises the <k-token fallback)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+    texts = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    # seed some near-duplicates and exact dups
+    texts[10] = texts[3]
+    texts[11] = texts[3] + " extra"
+    texts[12] = ""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in dedup.prefix_filtered_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold, shingle_k=shingle_k
+        ).collect()
+    }
+    want = _brute_jaccard_pairs(texts, threshold, shingle_k)
+    assert got == want
+
+
+def test_prefix_jaccard_join_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.prefix_filtered_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
