@@ -430,6 +430,21 @@ def q_token_jaccard_pairs(spark, sf_dir):
     return p.where(F.col("n_inter") * 5 >= F.col("n_union"))
 
 
+def q_token_cosine_pairs(spark, sf_dir):
+    """Sparse TF-cosine over the blocked pairs: token counts as an
+    (id, token, count) table, dot products via an (id, token) equi-join +
+    groupBy — never a dense vector.  Emits the exact integer magnitudes
+    (dot, na2, nb2) only; the float cosine is left out of the gate for the
+    same 6th-decimal-tie reason as q_token_jaccard_pairs (na2*nb2 can be a
+    perfect square with a power-of-two root)."""
+    from levsim.extras.dedup import sparse_token_cosine_pairs
+
+    d = _docs(spark, sf_dir)
+    p = _pairs(spark, sf_dir).select("id_a", "id_b")
+    out = sparse_token_cosine_pairs(d, p)
+    return out.select("id_a", "id_b", "dot", "na2", "nb2")
+
+
 def q_prefix_jaccard_join(spark, sf_dir):
     """PPJoin-style prefix-filtered ALL-PAIRS shingle-Jaccard self-join
     (J >= 0.5 on word bigrams) — no blocking key at all.  The DuckDB oracle
@@ -1081,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_text_stats": q_distinct_text_stats,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "prefix_jaccard_join": q_prefix_jaccard_join,
+        "token_cosine_pairs": q_token_cosine_pairs,
         "token_stats_lang": q_token_stats_lang,
         "punct_alpha_stats": q_punct_alpha_stats,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1555,6 +1571,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id_a, id_b, CAST({jacc_inter} AS BIGINT) AS n_inter, "
             f"CAST({jacc_union} AS BIGINT) AS n_union FROM p "
             f"WHERE {jacc_inter} * 5 >= {jacc_union}"
+        ),
+        "token_cosine_pairs": _P_CTE
+        + (
+            ", toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "t -> t != '')) AS tok FROM documents), "
+            "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok), "
+            "nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cnt "
+            "GROUP BY doc_id), "
+            "dt AS (SELECT p.id_a, p.id_b, CAST(sum(a.c * b.c) AS BIGINT) AS dot "
+            "FROM p JOIN cnt a ON a.doc_id = p.id_a "
+            "JOIN cnt b ON b.doc_id = p.id_b AND b.tok = a.tok "
+            "GROUP BY p.id_a, p.id_b) "
+            "SELECT p.id_a, p.id_b, coalesce(dt.dot, 0) AS dot, "
+            "na.n2 AS na2, nb.n2 AS nb2 "
+            "FROM p LEFT JOIN dt ON dt.id_a = p.id_a AND dt.id_b = p.id_b "
+            "JOIN nrm na ON na.doc_id = p.id_a JOIN nrm nb ON nb.doc_id = p.id_b"
         ),
         "prefix_jaccard_join": (
             # brute-force all-pairs oracle: bigram shingles (< 2 tokens fall

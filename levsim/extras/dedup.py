@@ -538,3 +538,63 @@ def prefix_filtered_jaccard_pairs(
             F.round(F.col("inter") * F.lit(1.0) / F.col("uni"), 6).alias("jacc"),
         )
     )
+
+
+def sparse_token_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-cosine similarity for candidate ``pairs`` (id_a, id_b) computed as
+    SPARSE dot products — the shape that survives 100 TB: token counts are
+    an (id, token, count) table, the dot product is an equi-join on
+    (id, token) + a partial-aggregating groupBy, norms join back by id.
+    No dense vectors are materialized and nothing is quadratic in vocab.
+
+    All emitted magnitudes are exact BIGINTs (dot, na2, nb2) so the DuckDB
+    oracle matches bit-for-bit; ``cos`` is derived per-row from those
+    integers by one deterministic expression (dot / sqrt(na2 * nb2)) —
+    identical IEEE tree on both engines.  Pairs with no shared token are
+    kept via the left join (dot = 0, cos = 0.0); pairs with a zero-token
+    side are dropped (their cosine is undefined).
+
+    IDF weighting is deliberately NOT folded in here: float idf weights
+    make the aggregation order-dependent and break exact cross-engine
+    comparison; compose with an integer-scaled weight column if needed.
+    """
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    # one materialization: counts feed the norm aggregate and BOTH dot sides
+    cnt = cnt.localCheckpoint(eager=False)
+    nrm = cnt.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    ca = cnt.select(F.col("doc_id").alias("id_a"), "tok", F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("id_b"), "tok", F.col("c").alias("cb"))
+    dot = (
+        pairs.select("id_a", "id_b")
+        .join(ca, "id_a")
+        .join(cb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(dot, ["id_a", "id_b"], "left")
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)).cast("long"))
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            F.col("na2").cast("long").alias("na2"),
+            F.col("nb2").cast("long").alias("nb2"),
+            (F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
+        )
+    )

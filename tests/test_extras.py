@@ -565,3 +565,36 @@ def test_prefix_jaccard_join_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.prefix_filtered_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_sparse_token_cosine_matches_dense(spark):
+    """Sparse (token-join) cosine == dense NumPy cosine; disjoint-vocab
+    pairs keep dot=0; zero-token sides are dropped."""
+    import math
+    from collections import Counter
+
+    texts = [
+        "key agg row key",
+        "agg key key row row",
+        "slow fast table",
+        "value",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (0, 4)], "id_a long, id_b long"
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in dedup.sparse_token_cosine_pairs(df, pairs).collect()
+    }
+    assert (0, 4) not in rows  # empty-text side dropped
+    assert set(rows) == {(0, 1), (0, 2), (1, 3)}
+    for (ia, ib), r in rows.items():
+        ca, cb = Counter(texts[ia].split()), Counter(texts[ib].split())
+        dot = sum(ca[t] * cb[t] for t in ca)
+        na2 = sum(v * v for v in ca.values())
+        nb2 = sum(v * v for v in cb.values())
+        assert (r.dot, r.na2, r.nb2) == (dot, na2, nb2)
+        assert abs(r.cos - dot / math.sqrt(na2 * nb2)) < 1e-12
+    assert rows[(0, 2)].dot == 0 and rows[(0, 2)].cos == 0.0
