@@ -724,6 +724,29 @@ def q_lev_ratio_trunc(spark, sf_dir):
     )
 
 
+def q_osa_distance_pairs(spark, sf_dir):
+    """OSA (restricted Damerau) distance on 18-char prefixes, with a
+    transposition seeded into side a (chars 3 and 4 swapped — identically
+    in the oracle) so the transposition rule actually differentiates from
+    plain Levenshtein on this corpus.  Oracle: the Levenshtein recursive
+    CTE extended with a third carried row (prow = dp[i-1]) feeding the
+    dp[i-2][j-2] + 1 transposition candidate."""
+    from levsim.udfs import osa_distance_udf
+
+    def swap34(c):
+        return F.concat(
+            F.substring(c, 1, 2), F.substring(c, 4, 1),
+            F.substring(c, 3, 1), F.substring(c, 5, 14),
+        )
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        swap34(F.col("text_a")).alias("ta"),
+        F.substring("text_b", 1, 18).alias("tb"),
+    )
+    return p.select("id_a", "id_b", osa_distance_udf()("ta", "tb").alias("osa"))
+
+
 def q_token_sort_ratio(spark, sf_dir):
     """token_sort_ratio — the north-star's "token-sortratio prefilter"
     scorer: both sides are normalized, word-tokenized, alphabetically
@@ -1117,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqratio_groups": q_seqratio_groups,
         "lev_ratio_trunc": q_lev_ratio_trunc,
         "token_sort_ratio": q_token_sort_ratio,
+        "osa_distance_pairs": q_osa_distance_pairs,
         "lev_ratio_multiword": q_lev_ratio_multiword,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
@@ -1130,6 +1154,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exact": q_ivf_topk_exact,
         "cosine_neardup_pairs": q_cosine_neardup_pairs,
     }
+
+
+def _osa_cte_sql() -> str:
+    """OSA recursive-CTE oracle: the unit-cost Levenshtein DP plus a third
+    carried row ``prow`` (= dp[i-1], NULL on the first step) feeding the
+    transposition candidate dp[i-2][j-2] + 1 when a[i+1]=b[k-1], a[i]=b[k].
+    The transposition term has no within-row dependency, so the min-plus
+    insert-chain unrolling stays exact.  Side a gets chars 3/4 swapped,
+    mirroring the Spark query's seeded transposition."""
+    ta = (
+        "concat(substr(a.text, 1, 2), substr(a.text, 4, 1), "
+        "substr(a.text, 3, 1), substr(a.text, 5, 14))"
+    )
+    return (
+        "WITH RECURSIVE p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"{ta} AS ta, substr(b.text, 1, 18) AS tb "
+        "FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "dp AS ("
+        "SELECT id_a, id_b, ta, tb, 0 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> j) AS row, "
+        "CAST(NULL AS BIGINT[]) AS prow FROM p "
+        "UNION ALL "
+        "SELECT id_a, id_b, ta, tb, i + 1 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        "j + list_min(list_transform(generate_series(0, j), k -> "
+        "(CASE WHEN k = 0 THEN i + 1 "
+        "ELSE least("
+        "row[k+1] + 1, "
+        "row[k] + CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) THEN 0 ELSE 1 END, "
+        "CASE WHEN i >= 1 AND k >= 2 AND substr(ta, i+1, 1) = substr(tb, k-1, 1) "
+        "AND substr(ta, i, 1) = substr(tb, k, 1) "
+        "THEN prow[k-1] + 1 ELSE 999999 END"
+        ") END) - k))) AS row, "
+        "row AS prow "
+        "FROM dp WHERE i < length(ta)) "
+        "SELECT id_a, id_b, row[length(tb)+1] AS osa FROM dp WHERE i = length(ta)"
+    )
 
 
 def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None,
@@ -1687,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "lev_distance_hint": _P_CTE
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
+        "osa_distance_pairs": _osa_cte_sql(),
         "token_sort_ratio": _indel_cte_sql(
             20, "tsr",
             text_sql=(

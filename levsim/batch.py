@@ -197,3 +197,19 @@ def batch_hamming(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray,
         else:
             out[i] = kernels.hamming(a[i], b[i], score_cutoff=score_cutoff)
     return out, nulls
+
+
+def batch_osa(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """OSA (restricted Damerau) distance per pair -> (int64 values, null
+    mask).  NumPy row-vectorized scalar kernel per pair (no C kernel yet —
+    the DP is the same min-plus scan shape as the weighted path)."""
+    n = len(a)
+    out = np.empty(n, dtype=np.int64)
+    nulls = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if a[i] is None or b[i] is None:
+            nulls[i] = True
+            out[i] = 0
+        else:
+            out[i] = kernels.osa_distance(a[i], b[i], score_cutoff=score_cutoff)
+    return out, nulls

@@ -239,3 +239,15 @@ def setratio_udf():
         return pd.Series(out, dtype="float64")
 
     return _once(_udf)
+
+
+def osa_distance_udf(score_cutoff: Optional[int] = None):
+    """OSA (restricted Damerau-Levenshtein) distance column — engine extra
+    (kernels.osa_distance); reference cutoff codomain rule."""
+
+    @pandas_udf(LongType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_osa(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
+        return _mask(vals, nulls, "Int64")
+
+    return _once(_udf)

@@ -208,3 +208,46 @@ def test_wav_roundtrip_property(samples):
     rate, back = decode_wav(encode_wav(samples, 8000))
     assert rate == 8000
     assert np.abs(back - np.asarray(samples)).max() <= 1.0 / 32767 + 1e-12
+
+
+def _osa_quadratic(a: str, b: str) -> int:
+    """Textbook O(mn) OSA reference for the vectorized kernel."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_osa_golden():
+    assert K.osa_distance("ca", "abc") == 3  # THE restricted-OSA case
+    assert K.osa_distance("ab", "ba") == 1
+    assert K.osa_distance("abcdef", "abdcef") == 1
+    assert K.osa_distance("", "abc") == 3
+    assert K.osa_distance("abc", "") == 3
+    assert K.osa_distance("abc", "abc") == 0
+    assert K.osa_distance("ab", "ba", score_cutoff=0) == 1  # cutoff+1 rule
+    assert K.osa_distance("abcd", "dcba", score_cutoff=1) == 2
+
+
+@settings(max_examples=400, deadline=None)
+@given(short_texts, short_texts)
+def test_osa_matches_quadratic(a, b):
+    assert K.osa_distance(a, b) == _osa_quadratic(a, b)
+    # OSA is bounded by Levenshtein and by indel/2 rules: lev >= osa
+    assert K.osa_distance(a, b) <= K.distance(a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(short_texts, short_texts, st.integers(min_value=0, max_value=6))
+def test_osa_cutoff_codomain(a, b, c):
+    d = K.osa_distance(a, b)
+    assert K.osa_distance(a, b, score_cutoff=c) == (d if d <= c else c + 1)
