@@ -364,6 +364,23 @@ def q_block_pair_counts(spark, sf_dir):
     )
 
 
+def q_phonetic_block_counts(spark, sf_dir):
+    """Phonetic (Soundex-style) blocking pass: key = phonetic_key of each
+    doc's first token, emitting per-key doc and pair counts.  The key is a
+    translate + per-digit-regexp chain chosen to be RE2-expressible, so the
+    oracle runs the BYTE-IDENTICAL chain in DuckDB (no backrefs)."""
+    from levsim.normalize import phonetic_key
+
+    d = _docs(spark, sf_dir).select(
+        phonetic_key(F.split(F.col("text"), " ").getItem(0)).alias("pkey")
+    )
+    return (
+        d.groupBy("pkey")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("n_pairs", F.expr("n_docs * (n_docs - 1) div 2"))
+    )
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (Hernández-Stolfo): every pair within a
     6-wide sliding window over docs sorted by the first 10 chars of the
@@ -1114,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_groups": q_median_groups,
         "block_pair_counts": q_block_pair_counts,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "phonetic_block_counts": q_phonetic_block_counts,
         "topk_jw_matches": q_topk_jw_matches,
         "length_histogram": q_length_histogram,
         "distinct_text_stats": q_distinct_text_stats,
@@ -1601,6 +1619,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "block_pair_counts": _P_CTE
         + "SELECT lang, source, count(*) AS n_pairs FROM p GROUP BY lang, source",
+        "phonetic_block_counts": (lambda _collapse: (
+            "WITH w AS (SELECT upper(regexp_replace(string_split(text, ' ')[1], "
+            "'[^A-Za-z]', '', 'g')) AS s FROM documents), "
+            f"c AS (SELECT s, {_collapse} AS cd FROM w), "
+            "k AS (SELECT CASE WHEN length(s) = 0 THEN '' "
+            "ELSE substr(s, 1, 1) || rpad(substr(regexp_replace(substr(cd, 2), "
+            "'0', '', 'g'), 1, 3), 3, '0') END AS pkey FROM c) "
+            "SELECT pkey, count(*) AS n_docs, "
+            "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs "
+            "FROM k GROUP BY pkey"
+        ))(
+            # the same backref-free per-digit collapse chain as phonetic_key
+            __import__("functools").reduce(
+                lambda acc, d: f"regexp_replace({acc}, '{d}{{2,}}', '{d}', 'g')",
+                "0123456",
+                "translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                "'01230120022455012623010202')",
+            )
+        ),
         "sorted_neighborhood": (
             "WITH k AS (SELECT doc_id, substr(array_to_string(list_sort("
             "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), "

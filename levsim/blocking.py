@@ -250,6 +250,17 @@ def add_block_keys(
                 ),
             )
         )
+    if "phonetic" in passes:
+        from .normalize import phonetic_key
+
+        pk = phonetic_key(F.split(F.col(text_col), " ").getItem(0))
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("phonetic").alias("block_pass"),
+                F.concat(F.lit("p:"), pk).alias("block_key"),
+            ).where(F.length(pk) > 0)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -45,3 +45,28 @@ def with_normalized(df: DataFrame, text_col: str = "text", url_col: str = "url")
     if url_col in df.columns:
         out = out.withColumn("host", url_host(url_col))
     return out
+
+
+def phonetic_key(col) -> Column:
+    """Soundex-style phonetic blocking key — pure column expressions.
+
+    Classic Soundex digit classes (Odell/Russell; public), as a
+    translate + regexp chain that is EXPRESSIBLE IN RE2: adjacent equal
+    digits are collapsed with per-digit quantifier patterns ('1{2,}' ...)
+    instead of a backreference, because DuckDB's RE2 has no backrefs and
+    the oracle must run the byte-identical chain.  Documented variant: the
+    h/w-separator exception is omitted (same-class consonants separated by
+    h/w collapse classically but not here — 'Ashcraft' -> A226, classic
+    A261); 'Robert' -> R163, 'Jackson' -> J250, 'Tymczak' -> T522,
+    'Pfister' -> P236 all match classic Soundex.  Empty/non-alpha input
+    yields ''.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    codes = F.translate(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    for d in "0123456":
+        codes = F.regexp_replace(codes, d + "{2,}", d)
+    tail = F.regexp_replace(F.substring(codes, 2, 2147483647), "0", "")
+    return F.when(F.length(s) == 0, F.lit("")).otherwise(
+        F.concat(F.substring(s, 1, 1), F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    )

@@ -215,3 +215,37 @@ def test_sorted_neighborhood_window_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, sk string")
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "doc_id", "sk", window=1)
+
+
+def test_phonetic_key_golden(spark):
+    """Classic Soundex vectors where the variant agrees, plus the
+    documented h/w-rule divergence and degenerate inputs."""
+    from levsim.normalize import phonetic_key
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Jackson": "J250",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Ashcraft": "A226",  # classic A261: h/w exception omitted (documented)
+        "": "",
+        "123": "",
+        "A": "A000",
+        "robert": "R163",  # case-insensitive
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.k for r in df.select("w", phonetic_key(F.col("w")).alias("k")).collect()}
+    assert got == cases
+
+
+def test_phonetic_blocking_pass(spark):
+    from levsim.blocking import add_block_keys
+
+    df = spark.createDataFrame(
+        [("u1", "robert smith", "h1"), ("u2", "rupert jones", "h2"), ("u3", "", "h3")],
+        "url string, norm_text string, host string",
+    )
+    keys = add_block_keys(df, passes=("phonetic",)).collect()
+    by_doc = {r.doc_id: r.block_key for r in keys}
+    assert by_doc == {"u1": "p:R163", "u2": "p:R163"}  # u3 empty -> no key
