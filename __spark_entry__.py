@@ -476,6 +476,20 @@ def q_prefix_jaccard_join(spark, sf_dir):
     return out.select("id_a", "id_b", "inter", "uni")
 
 
+def q_repetition_ngram_stats(spark, sf_dir):
+    """Per-doc Gopher-style bigram repetition counts (total / distinct /
+    top-gram occurrences) — exact integers, float ratios left to callers."""
+    from levsim.extras.textstats import ngram_repetition_counts
+
+    d = _docs(spark, sf_dir).withColumn("r", ngram_repetition_counts(F.col("text"), 2))
+    return d.select(
+        "doc_id",
+        F.col("r.n_grams").alias("n_grams"),
+        F.col("r.n_distinct").alias("n_distinct"),
+        F.col("r.top_count").alias("top_count"),
+    )
+
+
 def q_token_stats_lang(spark, sf_dir):
     from levsim.extras.textstats import token_count
 
@@ -1139,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_join": q_prefix_jaccard_join,
         "token_cosine_pairs": q_token_cosine_pairs,
         "token_stats_lang": q_token_stats_lang,
+        "repetition_ngram_stats": q_repetition_ngram_stats,
         "punct_alpha_stats": q_punct_alpha_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
@@ -1703,6 +1718,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE length(list_intersect(a.sh, b.sh)) * 2 >= "
             "a.n + b.n - length(list_intersect(a.sh, b.sh))"
+        ),
+        "repetition_ngram_stats": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN length(tk) >= 2 "
+            "THEN list_transform(generate_series(1, length(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1]) "
+            "ELSE CAST([] AS VARCHAR[]) END AS gr FROM toks) "
+            "SELECT doc_id, CAST(length(gr) AS BIGINT) AS n_grams, "
+            "CAST(length(list_distinct(gr)) AS BIGINT) AS n_distinct, "
+            "CAST(CASE WHEN length(gr) = 0 THEN 0 ELSE "
+            "list_max(list_transform(list_distinct(gr), "
+            "x -> length(list_filter(gr, y -> y = x)))) END AS BIGINT) AS top_count "
+            "FROM g"
         ),
         "token_stats_lang": (
             # CAST: DuckDB sum() over integers yields HUGEINT (surfaces as

@@ -102,6 +102,40 @@ def repetition_ratio(col) -> Column:
     return F.when(n > 0, 1.0 - d.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def ngram_repetition_counts(col, n: int = 2) -> Column:
+    """Gopher-style (Rae et al. 2021, public) n-gram repetition signals as
+    EXACT integers — struct(n_grams, n_distinct, top_count): total word
+    n-grams, distinct word n-grams, and the occurrence count of the most
+    frequent n-gram.  Boilerplate/spam shows up as top_count >> 1 or
+    n_distinct << n_grams; ratios are left to the caller so the gate never
+    compares floats.  Docs with < n tokens yield (0, 0, 0).  Pure column
+    expressions (interpreted HOFs — per-doc cost is O(tokens^2) on the
+    distinct-gram count scan, fine for bounded web-page docs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    top = F.when(
+        total > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return F.struct(
+        total.cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        top.cast("long").alias("top_count"),
+    )
+
+
 def quality_score(col, lang: str = "en") -> Column:
     """Composite quality in [0,1]: rewards alpha text with stopwords and a
     sane word-length profile, penalizes punctuation soup and repetition.

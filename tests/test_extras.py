@@ -598,3 +598,29 @@ def test_sparse_token_cosine_matches_dense(spark):
         assert (r.dot, r.na2, r.nb2) == (dot, na2, nb2)
         assert abs(r.cos - dot / math.sqrt(na2 * nb2)) < 1e-12
     assert rows[(0, 2)].dot == 0 and rows[(0, 2)].cos == 0.0
+
+
+def test_ngram_repetition_counts(spark):
+    from collections import Counter
+
+    texts = {
+        0: "a b a b a b",        # bigrams: ab ba ab ba ab -> top 'a b' x3
+        1: "x y z",              # all distinct
+        2: "w",                  # < n tokens
+        3: "",                   # empty
+        4: "q q q q",            # 'q q' x3
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.r.n_grams, r.r.n_distinct, r.r.top_count)
+        for r in df.withColumn(
+            "r", textstats.ngram_repetition_counts(F.col("text"), 2)
+        ).collect()
+    }
+    for i, t in texts.items():
+        toks = [w for w in t.split(" ") if w]
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        c = Counter(grams)
+        want = (len(grams), len(c), max(c.values()) if c else 0)
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] == (5, 2, 3) and got[4] == (3, 1, 3) and got[3] == (0, 0, 0)
