@@ -29,13 +29,21 @@ def candidate_pairs(
     keep_pass_provenance: bool = True,
     drop_block_size: int | None = None,
     share_blocks: bool = True,
+    extra_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """blocks(doc_id, block_pass, block_key) -> pairs(id_a, id_b[, block_key, block_pass]).
 
     id_a < id_b canonical order; one row per distinct pair.
 
     ``drop_block_size``: stop-key removal — keys whose block exceeds this
-    size are dropped entirely instead of salted.  A key shared by 10^5+
+    size are dropped entirely instead of salted.
+
+    ``extra_pairs``: pre-built candidate pairs from non-equality passes
+    (e.g. sorted-neighborhood, ``blocking.sorted_neighborhood_pairs``) with
+    columns (id_a, id_b, block_pass, block_key); unioned before the
+    cross-pass dedup so provenance resolution and downstream stages see
+    one uniform pair set.  Order is canonicalized here (SNM emits
+    rank-ordered, not id-ordered, pairs).  A key shared by 10^5+
     docs (blogspot.com-style mega hosts) discriminates nothing: nearly all
     its pairs are junk that the scorer must then reject, and recall for
     true duplicates inside it is carried by the content-based passes
@@ -84,6 +92,14 @@ def candidate_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .drop("join_key")
     )
+    if extra_pairs is not None:
+        ep = extra_pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "block_pass",
+            "block_key",
+        ).where(F.col("id_a") != F.col("id_b"))
+        pairs = pairs.unionByName(ep)
     if keep_pass_provenance:
         # keep one provenance row per pair: lexicographically first pass/key
         pairs = pairs.groupBy("id_a", "id_b").agg(

@@ -45,6 +45,12 @@ class ERConfig:
     # keeps the flat per-cluster election with its max_members sample cap
     hierarchical_consensus_threshold: int | None = None
     blocking_passes: tuple = ("host", "minhash", "tokensort")
+    # sorted-neighborhood pass: window size (None disables).  Catches
+    # near-misses whose sort keys are CLOSE but unequal — typos in the
+    # leading chars — which no equality pass can pair; pairs union into
+    # the candidate set with block_pass='snm'.
+    snm_window: int | None = None
+    snm_key_len: int = 24
     id_col: str = "url"
     text_col: str = "text"
     # cap normalized text length fed to the scorers: real crawl pages can be
@@ -67,6 +73,8 @@ class ERConfig:
             "shingle_k": self.shingle_k,
             "max_block_size": self.max_block_size,
             "drop_block_size": self.drop_block_size,
+            "snm_window": self.snm_window,
+            "snm_key_len": self.snm_key_len,
             "consensus": self.consensus_method,
             "hier_consensus": self.hierarchical_consensus_threshold,
             "passes": list(self.blocking_passes),
@@ -174,8 +182,25 @@ class ERPipeline:
                 shingle_k=cfg.shingle_k,
                 passes=cfg.blocking_passes,
             )
+            extra = None
+            if cfg.snm_window:
+                snm_src = norm_df.select(
+                    F.col(cfg.id_col).alias("doc_id"),
+                    F.substring(
+                        normalize.token_sort_key(F.col("norm_text")), 1, cfg.snm_key_len
+                    ).alias("sk"),
+                )
+                extra = blocking.sorted_neighborhood_pairs(
+                    snm_src, "doc_id", "sk", window=cfg.snm_window
+                ).select(
+                    "id_a",
+                    "id_b",
+                    F.lit("snm").alias("block_pass"),
+                    F.concat(F.lit("s:"), F.col("gap").cast("string")).alias("block_key"),
+                )
             return candidates.candidate_pairs(blocks, max_block_size=cfg.max_block_size,
-                                              drop_block_size=cfg.drop_block_size)
+                                              drop_block_size=cfg.drop_block_size,
+                                              extra_pairs=extra)
 
         pairs_df, r = self._stage("candidates", [stages[-1].snapshot_id], compute_pairs,
                                   self.tables["pairs"])

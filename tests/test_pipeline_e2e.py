@@ -84,3 +84,25 @@ def test_consensus_representative_quality(spark, pages, tmp_path):
     assert len(joined) > 10
     for r in joined:
         assert r.representative in r.texts
+
+
+def test_pipeline_with_snm_pass(spark, pages, tmp_path):
+    """snm_window enables the sorted-neighborhood candidate pass: pairs
+    carry block_pass provenance, F1 holds, and the extra pass can only ADD
+    candidates (supersets of the equality-pass run)."""
+    base = ERPipeline(spark, str(tmp_path / "er_nosnm"), ERConfig(tau=0.87))
+    base.run(pages)
+    pipe = ERPipeline(
+        spark, str(tmp_path / "er_snm"), ERConfig(tau=0.87, snm_window=4)
+    )
+    run = pipe.run(pages)
+    predicted = evaluate.pairs_from_clusters(run.clusters, id_col="url")
+    truth = evaluate.truth_pairs_from_entities(pages, id_col="url")
+    assert evaluate.pair_f1(predicted, truth)["f1"] >= 0.99
+    pairs = pipe.tables["pairs"].read(spark)
+    passes = {r.block_pass for r in pairs.select("block_pass").distinct().collect()}
+    assert passes <= {"host", "minhash", "tokensort", "snm"}
+    n_base = base.tables["pairs"].read(spark).count()
+    assert pairs.count() >= n_base
+    # canonical order holds for every unioned pair
+    assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
