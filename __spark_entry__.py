@@ -799,6 +799,33 @@ def q_token_sort_ratio(spark, sf_dir):
     )
 
 
+def q_token_set_ratio(spark, sf_dir):
+    """token_set_ratio (fuzz family, engine extra): max of the three indel
+    ratios over the sorted token-set comparison strings (sect / sect+only-a
+    / sect+only-b, built as pure columns in normalize.token_set_strings),
+    truncated to 16 chars.  Oracle: the same three string constructions in
+    SQL unioned into one pair table (variant column v) and run through the
+    recursive-CTE indel DP, then a per-pair max.  round-then-max equals
+    max-then-round because round is monotone — both engines round once at
+    the end."""
+    from levsim.normalize import token_set_strings
+    from levsim.udfs import lev_ratio_udf
+
+    p = _pairs(spark, sf_dir).withColumn(
+        "s", token_set_strings(F.col("text_a"), F.col("text_b"))
+    ).select(
+        "id_a", "id_b",
+        F.substring("s.sect", 1, 16).alias("t0"),
+        F.substring("s.comb_a", 1, 16).alias("t1"),
+        F.substring("s.comb_b", 1, 16).alias("t2"),
+    )
+    r = lev_ratio_udf()
+    return p.select(
+        "id_a", "id_b",
+        F.round(F.greatest(r("t0", "t1"), r("t0", "t2"), r("t1", "t2")), 6).alias("tset"),
+    )
+
+
 def q_lev_ratio_multiword(spark, sf_dir):
     """Indel ratio over 80-char prefixes on a deterministic pair subsample
     (id_a % 20 == 0): both sides exceed 64 code points for 479/500 docs, so
@@ -1174,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_ratio_trunc": q_lev_ratio_trunc,
         "token_sort_ratio": q_token_sort_ratio,
         "osa_distance_pairs": q_osa_distance_pairs,
+        "token_set_ratio": q_token_set_ratio,
         "lev_ratio_multiword": q_lev_ratio_multiword,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
@@ -1224,6 +1252,54 @@ def _osa_cte_sql() -> str:
         "row AS prow "
         "FROM dp WHERE i < length(ta)) "
         "SELECT id_a, id_b, row[length(tb)+1] AS osa FROM dp WHERE i = length(ta)"
+    )
+
+
+def _token_set_ratio_sql(trunc_len: int = 16) -> str:
+    """Three-variant token-set-ratio oracle: SQL builds the same sect /
+    comb_a / comb_b strings as normalize.token_set_strings, unions them as
+    (pair, variant) rows, runs the recursive-CTE indel DP on all three,
+    and takes the per-pair max."""
+    def toks(c: str) -> str:
+        return (
+            "list_distinct(list_filter(string_split(trim(regexp_replace("
+            f"lower({c}), '\\s+', ' ', 'g')), ' '), t -> t != ''))"
+        )
+
+    sect = "array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' ')"
+    only_a = "array_to_string(list_sort(list_filter(ta, t -> NOT list_contains(tb, t))), ' ')"
+    only_b = "array_to_string(list_sort(list_filter(tb, t -> NOT list_contains(ta, t))), ' ')"
+    return (
+        "WITH RECURSIVE p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.text AS text_a, b.text AS text_b FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        f"tk AS (SELECT id_a, id_b, {toks('text_a')} AS ta, {toks('text_b')} AS tb "
+        "FROM p0), "
+        f"st AS (SELECT id_a, id_b, {sect} AS sect, "
+        f"trim(concat_ws(' ', {sect}, {only_a})) AS comb_a, "
+        f"trim(concat_ws(' ', {sect}, {only_b})) AS comb_b FROM tk), "
+        "p AS ("
+        f"SELECT id_a, id_b, 0 AS v, substr(sect, 1, {trunc_len}) AS ta, "
+        f"substr(comb_a, 1, {trunc_len}) AS tb FROM st "
+        f"UNION ALL SELECT id_a, id_b, 1, substr(sect, 1, {trunc_len}), "
+        f"substr(comb_b, 1, {trunc_len}) FROM st "
+        f"UNION ALL SELECT id_a, id_b, 2, substr(comb_a, 1, {trunc_len}), "
+        f"substr(comb_b, 1, {trunc_len}) FROM st), "
+        "dp AS ("
+        "SELECT id_a, id_b, v, ta, tb, 0 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> j) AS row FROM p "
+        "UNION ALL "
+        "SELECT id_a, id_b, v, ta, tb, i + 1 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        "j + list_min(list_transform(generate_series(0, j), k -> "
+        "(CASE WHEN k = 0 THEN i + 1 "
+        "ELSE least(row[k+1] + 1, CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) "
+        "THEN row[k] ELSE 999999 END) END) - k))) AS row "
+        "FROM dp WHERE i < length(ta)), "
+        "r AS (SELECT id_a, id_b, CASE WHEN length(ta) + length(tb) = 0 THEN 1.0 "
+        "ELSE 1.0 - row[length(tb)+1] * 1.0 / (length(ta) + length(tb)) END AS ratio "
+        "FROM dp WHERE i = length(ta)) "
+        "SELECT id_a, id_b, round(max(ratio), 6) AS tset FROM r GROUP BY id_a, id_b"
     )
 
 
@@ -1816,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "osa_distance_pairs": _osa_cte_sql(),
+        "token_set_ratio": _token_set_ratio_sql(16),
         "token_sort_ratio": _indel_cte_sql(
             20, "tsr",
             text_sql=(

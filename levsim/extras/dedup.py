@@ -496,21 +496,37 @@ def prefix_filtered_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("dfq", "tok"))).alias("arr"))
         .withColumn("n", F.size("arr"))
     )
-    # prefix length n - ceil(t*n) + 1 with ceil as exact integer arithmetic
+    # prefix length n - ceil(t*n) + 1 with ceil as exact integer arithmetic;
+    # pos = 0-based rank of the shingle in the doc's full rarest-first order
+    # (posexplode of a slice starting at 1), feeding the positional filter
     pref = (
         ordered.select(
             "doc_id",
             "n",
-            F.explode(
+            F.posexplode(
                 F.expr(f"slice(arr, 1, n - ((n * {tn} + {td} - 1) div {td}) + 1)")
-            ).alias("s"),
+            ).alias("pos", "s"),
         )
-        .select("doc_id", "n", F.col("s.tok").alias("tok"))
+        .select("doc_id", "n", "pos", F.col("s.tok").alias("tok"))
         # both self-join branches read this — materialize once
         .localCheckpoint(eager=False)
     )
-    a = pref.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "tok")
-    b = pref.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "tok")
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na"),
+        F.col("pos").alias("pos_a"), "tok",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb"),
+        F.col("pos").alias("pos_b"), "tok",
+    )
+    # PPJoin positional filter: a qualifying pair needs overlap
+    # alpha = ceil(t/(1+t) * (na+nb)); at the FIRST common shingle (pos_a,
+    # pos_b) every earlier shingle on either side is non-common, so the
+    # overlap is bounded by 1 + min(remaining_a, remaining_b).  Filtering
+    # occurrences below alpha is lossless (the first-common occurrence of a
+    # qualifying pair always passes) and prunes the dense-shingle fan-out
+    # that a pure prefix join suffers on low-entropy corpora.
+    alpha = F.expr(f"((na + nb) * {tn} + {tn + td} - 1) div {tn + td}")
     cand = (
         a.join(b, "tok")
         .where(
@@ -518,6 +534,13 @@ def prefix_filtered_jaccard_pairs(
             # size filter: J >= t forces t|A| <= |B| and t|B| <= |A|
             & (F.col("nb") * td >= F.col("na") * tn)
             & (F.col("na") * td >= F.col("nb") * tn)
+            & (
+                1 + F.least(
+                    F.col("na") - 1 - F.col("pos_a"),
+                    F.col("nb") - 1 - F.col("pos_b"),
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

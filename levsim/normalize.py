@@ -70,3 +70,34 @@ def phonetic_key(col) -> Column:
     return F.when(F.length(s) == 0, F.lit("")).otherwise(
         F.concat(F.substring(s, 1, 1), F.rpad(F.substring(tail, 1, 3), 3, "0"))
     )
+
+
+def token_set_strings(col_a, col_b) -> Column:
+    """The three token-set comparison strings of token_set_ratio (fuzz
+    family; engine extra beyond the reference exports) as a struct
+    (sect, comb_a, comb_b) of pure column expressions:
+
+      sect   = sorted distinct tokens common to both sides, joined by ' '
+      comb_a = sect + ' ' + sorted tokens only in a   (trimmed)
+      comb_b = sect + ' ' + sorted tokens only in b   (trimmed)
+
+    token_set_ratio = max(ratio(sect, comb_a), ratio(sect, comb_b),
+    ratio(comb_a, comb_b)) — near-1.0 whenever one side's token set is
+    contained in the other's, regardless of word order or repetition.
+    Scoring is left to the caller (indel ratio kernel) so the construction
+    stays JVM-side and engine-mirrorable (array_sort == list_sort binary
+    collation on ASCII).
+    """
+    a = col_a if isinstance(col_a, Column) else F.col(col_a)
+    b = col_b if isinstance(col_b, Column) else F.col(col_b)
+    ta = F.array_distinct(F.filter(F.split(norm_text(a), " "), lambda t: t != F.lit("")))
+    tb = F.array_distinct(F.filter(F.split(norm_text(b), " "), lambda t: t != F.lit("")))
+    sect = F.array_sort(F.filter(ta, lambda t: F.array_contains(tb, t)))
+    da = F.array_sort(F.filter(ta, lambda t: ~F.array_contains(tb, t)))
+    db = F.array_sort(F.filter(tb, lambda t: ~F.array_contains(ta, t)))
+    sect_str = F.array_join(sect, " ")
+    comb_a = F.trim(F.concat_ws(" ", sect_str, F.array_join(da, " ")))
+    comb_b = F.trim(F.concat_ws(" ", sect_str, F.array_join(db, " ")))
+    return F.struct(
+        sect_str.alias("sect"), comb_a.alias("comb_a"), comb_b.alias("comb_b")
+    )
