@@ -799,6 +799,21 @@ def q_token_sort_ratio(spark, sf_dir):
     )
 
 
+def q_affine_gap_pairs(spark, sf_dir):
+    """Gotoh affine-gap alignment distance (open=2, extend=1, sub=2) on
+    16-char prefixes.  Oracle: recursive CTE carrying TWO rows (V and D);
+    the I chain collapses to the min-plus scan with slope `extend` because
+    opening from an I cell is dominated by extending it."""
+    from levsim.udfs import affine_gap_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.substring("text_a", 1, 16).alias("ta"),
+        F.substring("text_b", 1, 16).alias("tb"),
+    )
+    return p.select("id_a", "id_b", affine_gap_udf()("ta", "tb").alias("agap"))
+
+
 def q_token_set_ratio(spark, sf_dir):
     """token_set_ratio (fuzz family, engine extra): max of the three indel
     ratios over the sorted token-set comparison strings (sect / sect+only-a
@@ -1202,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_sort_ratio": q_token_sort_ratio,
         "osa_distance_pairs": q_osa_distance_pairs,
         "token_set_ratio": q_token_set_ratio,
+        "affine_gap_pairs": q_affine_gap_pairs,
         "lev_ratio_multiword": q_lev_ratio_multiword,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
@@ -1252,6 +1268,42 @@ def _osa_cte_sql() -> str:
         "row AS prow "
         "FROM dp WHERE i < length(ta)) "
         "SELECT id_a, id_b, row[length(tb)+1] AS osa FROM dp WHERE i = length(ta)"
+    )
+
+
+def _affine_gap_cte_sql(o: int = 2, e: int = 1, s: int = 2, trunc_len: int = 16) -> str:
+    """Gotoh affine-gap oracle: the CTE carries V (overall-min) and D
+    (deletion-state) rows; M and D read only the previous rows, and the
+    insertion chain is the min-plus scan I[j] = o + e*j +
+    min_{k<j}(MD[k] - e*k) since gap-opens from I cells are dominated.
+    MD(k) is recomputed inline per (j, k) — same O(L^3) shape as the other
+    DP oracles."""
+    md = (
+        f"(CASE WHEN {{k}} = 0 THEN least(drow[1] + {e}, row[1] + {o + e}) "
+        f"ELSE least(row[{{k}}] + CASE WHEN substr(ta, i+1, 1) = substr(tb, {{k}}, 1) "
+        f"THEN 0 ELSE {s} END, least(drow[{{k}}+1] + {e}, row[{{k}}+1] + {o + e})) END)"
+    )
+    return (
+        "WITH RECURSIVE p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"substr(a.text, 1, {trunc_len}) AS ta, substr(b.text, 1, {trunc_len}) AS tb "
+        "FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "dp AS ("
+        "SELECT id_a, id_b, ta, tb, 0 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        f"CASE WHEN j = 0 THEN 0 ELSE {o} + {e} * j END) AS row, "
+        "list_transform(generate_series(0, length(tb)), j -> 999999) AS drow FROM p "
+        "UNION ALL "
+        "SELECT id_a, id_b, ta, tb, i + 1 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        f"CASE WHEN j = 0 THEN {md.format(k='0')} "
+        f"ELSE least({md.format(k='j')}, {o} + {e} * j + "
+        "list_min(list_transform(generate_series(0, j - 1), k -> "
+        f"{md.format(k='k')} - {e} * k))) END) AS row, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        f"least(drow[j+1] + {e}, row[j+1] + {o + e})) AS drow "
+        "FROM dp WHERE i < length(ta)) "
+        "SELECT id_a, id_b, row[length(tb)+1] AS agap FROM dp WHERE i = length(ta)"
     )
 
 
@@ -1893,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "osa_distance_pairs": _osa_cte_sql(),
         "token_set_ratio": _token_set_ratio_sql(16),
+        "affine_gap_pairs": _affine_gap_cte_sql(2, 1, 2, 16),
         "token_sort_ratio": _indel_cte_sql(
             20, "tsr",
             text_sql=(

@@ -213,3 +213,20 @@ def batch_osa(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.
         else:
             out[i] = kernels.osa_distance(a[i], b[i], score_cutoff=score_cutoff)
     return out, nulls
+
+
+def batch_affine_gap(a, b, gap_open: int = 2, gap_extend: int = 1, sub_cost: int = 2,
+                     score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Affine-gap (Gotoh) distance per pair -> (int64 values, null mask)."""
+    n = len(a)
+    out = np.empty(n, dtype=np.int64)
+    nulls = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if a[i] is None or b[i] is None:
+            nulls[i] = True
+            out[i] = 0
+        else:
+            out[i] = kernels.affine_gap_distance(
+                a[i], b[i], gap_open=gap_open, gap_extend=gap_extend,
+                sub_cost=sub_cost, score_cutoff=score_cutoff)
+    return out, nulls

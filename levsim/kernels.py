@@ -272,6 +272,66 @@ def osa_distance(
     return d
 
 
+def affine_gap_distance(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    gap_open: int = 2,
+    gap_extend: int = 1,
+    sub_cost: int = 2,
+    processor=None,
+    score_cutoff: Optional[int] = None,
+) -> int:
+    """Global alignment distance with affine gaps (Gotoh 1982, public) —
+    ENGINE EXTRA: a run of g consecutive insertions or deletions costs
+    ``gap_open + g * gap_extend`` instead of g unit edits, so one long
+    boilerplate insertion (ad block, nav bar) is cheap while many scattered
+    edits stay expensive — the right cost model for template-y web text.
+
+    Minimization form with gap-open-from-anywhere: V = min(M, D, I);
+    M[i][j] = V[i-1][j-1] + (a_i == b_j ? 0 : sub_cost);
+    D[i][j] = min(D[i-1][j] + e, V[i-1][j] + o + e);
+    I[i][j] = min(I[i][j-1] + e, V[i][j-1] + o + e).
+
+    Row-vectorized: M and D read only row i-1; the within-row I chain
+    collapses because opening FROM an I cell is always dominated by
+    extending it, so I[i][j] = o + e*j + min_{k<j}(min(M,D)[i][k] - e*k)
+    — the same min-plus prefix scan as ``_dp_distance`` with slope e.
+    Cutoff codomain follows the reference rule (> cutoff -> cutoff + 1).
+    """
+    if gap_open < 0 or gap_extend < 0 or sub_cost < 0:
+        raise ValueError("costs have to be non-negative")
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    o, e, sc = gap_open, gap_extend, sub_cost
+    a, b = _codes(s1), _codes(s2)  # no affix strip: gaps price by RUN length
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        d = 0 if la == lb == 0 else o + e * (la + lb)
+    else:
+        BIG = np.int64(1) << 60
+        jr = np.arange(1, lb + 1, dtype=np.int64)
+        V = np.concatenate(([0], o + e * jr))
+        D = np.full(lb + 1, BIG, dtype=np.int64)
+        for i in range(la):
+            newD = np.minimum(D + e, V + o + e)
+            MD = np.empty(lb + 1, dtype=np.int64)
+            MD[0] = newD[0]
+            neq = (b != a[i]).astype(np.int64)
+            MD[1:] = np.minimum(V[:-1] + neq * sc, newD[1:])
+            newV = np.empty(lb + 1, dtype=np.int64)
+            newV[0] = newD[0]
+            ins = o + e * jr + np.minimum.accumulate(
+                MD[:-1] - e * np.arange(lb, dtype=np.int64)
+            )
+            newV[1:] = np.minimum(MD[1:], ins)
+            V, D = newV, newD
+        d = int(V[lb])
+    if score_cutoff is not None and d > score_cutoff:
+        return score_cutoff + 1
+    return d
+
+
 def indel_distance(s1: StrOrBytes, s2: StrOrBytes, *, processor=None) -> int:
     """Indel distance = insertions+deletions only = len1+len2-2*LCS."""
     s1, s2 = _apply_processor(processor, s1, s2)

@@ -251,3 +251,19 @@ def osa_distance_udf(score_cutoff: Optional[int] = None):
         return _mask(vals, nulls, "Int64")
 
     return _once(_udf)
+
+
+def affine_gap_udf(gap_open: int = 2, gap_extend: int = 1, sub_cost: int = 2,
+                   score_cutoff: Optional[int] = None):
+    """Affine-gap (Gotoh) alignment distance column — engine extra
+    (kernels.affine_gap_distance): long gap runs cost open + len*extend,
+    the right model for boilerplate insertions in web text."""
+
+    @pandas_udf(LongType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_affine_gap(
+            a.tolist(), b.tolist(), gap_open=gap_open, gap_extend=gap_extend,
+            sub_cost=sub_cost, score_cutoff=score_cutoff)
+        return _mask(vals, nulls, "Int64")
+
+    return _once(_udf)

@@ -251,3 +251,48 @@ def test_osa_matches_quadratic(a, b):
 def test_osa_cutoff_codomain(a, b, c):
     d = K.osa_distance(a, b)
     assert K.osa_distance(a, b, score_cutoff=c) == (d if d <= c else c + 1)
+
+
+def _affine_ref(a: str, b: str, o: int, e: int, s: int) -> int:
+    """Textbook three-matrix Gotoh reference."""
+    BIG = 10**9
+    la, lb = len(a), len(b)
+    M = [[BIG] * (lb + 1) for _ in range(la + 1)]
+    D = [[BIG] * (lb + 1) for _ in range(la + 1)]
+    ins = [[BIG] * (lb + 1) for _ in range(la + 1)]
+    M[0][0] = 0
+    for j in range(1, lb + 1):
+        ins[0][j] = o + e * j
+    for i in range(1, la + 1):
+        D[i][0] = o + e * i
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            M[i][j] = min(M[i - 1][j - 1], D[i - 1][j - 1], ins[i - 1][j - 1]) + (
+                0 if a[i - 1] == b[j - 1] else s
+            )
+            D[i][j] = min(D[i - 1][j] + e, min(M[i - 1][j], D[i - 1][j], ins[i - 1][j]) + o + e)
+            ins[i][j] = min(
+                ins[i][j - 1] + e, min(M[i][j - 1], D[i][j - 1], ins[i][j - 1]) + o + e
+            )
+    return min(M[la][lb], D[la][lb], ins[la][lb])
+
+
+def test_affine_gap_golden():
+    f = K.affine_gap_distance
+    assert f("abc", "abc") == 0
+    assert f("", "") == 0
+    assert f("", "abc") == 2 + 3          # one opened 3-run gap
+    assert f("abXYZcd", "abcd") == 2 + 3  # one 3-run deletion
+    assert f("aXbYc", "abc") == 6         # two scattered 1-gaps: 2*(2+1)
+    assert f("aXbYc", "abc", score_cutoff=5) == 6  # cutoff+1 rule
+    import pytest as _p
+    with _p.raises(ValueError):
+        f("a", "b", gap_open=-1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(short_texts, short_texts, st.integers(0, 3), st.integers(0, 2), st.integers(0, 3))
+def test_affine_gap_matches_gotoh(a, b, o, e, s):
+    assert K.affine_gap_distance(
+        a, b, gap_open=o, gap_extend=e, sub_cost=s
+    ) == _affine_ref(a, b, o, e, s)
