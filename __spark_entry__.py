@@ -814,6 +814,25 @@ def q_affine_gap_pairs(spark, sf_dir):
     return p.select("id_a", "id_b", affine_gap_udf()("ta", "tb").alias("agap"))
 
 
+def q_partial_ratio_pairs(spark, sf_dir):
+    """partial_ratio (fuzz family): 8-char needle from side a slides over
+    the 24-char haystack prefix of side b; score = best window indel
+    ratio.  Oracle enumerates all 17 windows in SQL (the kernel's spec IS
+    the exhaustive scan), runs the indel DP per window, takes the per-pair
+    max — bit-identical because both engines use the 1.0 - d/lensum tree
+    with a constant lensum."""
+    from levsim.udfs import partial_ratio_udf
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.substring("text_a", 1, 8).alias("ta"),
+        F.substring("text_b", 1, 24).alias("tb"),
+    )
+    return p.select(
+        "id_a", "id_b", F.round(partial_ratio_udf()("ta", "tb"), 6).alias("pratio")
+    )
+
+
 def q_token_set_ratio(spark, sf_dir):
     """token_set_ratio (fuzz family, engine extra): max of the three indel
     ratios over the sorted token-set comparison strings (sect / sect+only-a
@@ -1218,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osa_distance_pairs": q_osa_distance_pairs,
         "token_set_ratio": q_token_set_ratio,
         "affine_gap_pairs": q_affine_gap_pairs,
+        "partial_ratio_pairs": q_partial_ratio_pairs,
         "lev_ratio_multiword": q_lev_ratio_multiword,
         "lev_ratio_unicode": q_lev_ratio_unicode,
         "hamming_unicode": q_hamming_unicode,
@@ -1304,6 +1324,36 @@ def _affine_gap_cte_sql(o: int = 2, e: int = 1, s: int = 2, trunc_len: int = 16)
         f"least(drow[j+1] + {e}, row[j+1] + {o + e})) AS drow "
         "FROM dp WHERE i < length(ta)) "
         "SELECT id_a, id_b, row[length(tb)+1] AS agap FROM dp WHERE i = length(ta)"
+    )
+
+
+def _partial_ratio_sql(needle_len: int = 8, hay_len: int = 24) -> str:
+    """partial_ratio oracle: one DP row per (pair, window offset) — the
+    windows are enumerated with generate_series, the indel DP runs keyed by
+    (pair, off), and the per-pair max is the score."""
+    return (
+        "WITH RECURSIVE p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"substr(a.text, 1, {needle_len}) AS na, substr(b.text, 1, {hay_len}) AS hay "
+        "FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "p AS (SELECT id_a, id_b, off, na AS ta, substr(hay, off, length(na)) AS tb "
+        f"FROM p0 CROSS JOIN unnest(generate_series(1, {hay_len})) AS u(off) "
+        "WHERE off <= length(hay) - length(na) + 1), "
+        "dp AS ("
+        "SELECT id_a, id_b, off, ta, tb, 0 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> j) AS row FROM p "
+        "UNION ALL "
+        "SELECT id_a, id_b, off, ta, tb, i + 1 AS i, "
+        "list_transform(generate_series(0, length(tb)), j -> "
+        "j + list_min(list_transform(generate_series(0, j), k -> "
+        "(CASE WHEN k = 0 THEN i + 1 "
+        "ELSE least(row[k+1] + 1, CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) "
+        "THEN row[k] ELSE 999999 END) END) - k))) AS row "
+        "FROM dp WHERE i < length(ta)), "
+        "r AS (SELECT id_a, id_b, CASE WHEN length(ta) + length(tb) = 0 THEN 1.0 "
+        "ELSE 1.0 - row[length(tb)+1] * 1.0 / (length(ta) + length(tb)) END AS ratio "
+        "FROM dp WHERE i = length(ta)) "
+        "SELECT id_a, id_b, round(max(ratio), 6) AS pratio FROM r GROUP BY id_a, id_b"
     )
 
 
@@ -1946,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "osa_distance_pairs": _osa_cte_sql(),
         "token_set_ratio": _token_set_ratio_sql(16),
         "affine_gap_pairs": _affine_gap_cte_sql(2, 1, 2, 16),
+        "partial_ratio_pairs": _partial_ratio_sql(8, 24),
         "token_sort_ratio": _indel_cte_sql(
             20, "tsr",
             text_sql=(

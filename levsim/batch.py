@@ -230,3 +230,17 @@ def batch_affine_gap(a, b, gap_open: int = 2, gap_extend: int = 1, sub_cost: int
                 a[i], b[i], gap_open=gap_open, gap_extend=gap_extend,
                 sub_cost=sub_cost, score_cutoff=score_cutoff)
     return out, nulls
+
+
+def batch_partial_ratio(a, b, score_cutoff: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Best-window indel similarity per pair -> (float64 values, null mask)."""
+    n = len(a)
+    out = np.empty(n, dtype=np.float64)
+    nulls = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if a[i] is None or b[i] is None:
+            nulls[i] = True
+            out[i] = 0.0
+        else:
+            out[i] = kernels.partial_ratio(a[i], b[i], score_cutoff=score_cutoff)
+    return out, nulls

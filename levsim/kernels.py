@@ -363,6 +363,50 @@ def ratio(
     return sim
 
 
+def partial_ratio(
+    s1: StrOrBytes,
+    s2: StrOrBytes,
+    *,
+    processor=None,
+    score_cutoff: Optional[float] = None,
+) -> float:
+    """Best-window indel similarity (fuzz family; ENGINE EXTRA): the
+    SHORTER string (needle) slides over every same-length window of the
+    longer; result = max over windows of ``ratio(needle, window)``.
+
+    DEFINED semantics, documented rather than ported: the max runs over
+    ALL |needle|-length windows (rapidfuzz prunes candidate windows via
+    matching blocks; same optimum on overlapping-window ties, but we make
+    the exhaustive scan the spec so the SQL oracle can enumerate windows
+    verbatim).  An empty needle scores 1.0 (it matches the empty window).
+    Below ``score_cutoff`` -> 0.0, as in ``ratio``.
+    """
+    s1, s2 = _apply_processor(processor, s1, s2)
+    _check_same_type(s1, s2)
+    a, b = _codes(s1), _codes(s2)
+    if len(a) > len(b):
+        a, b = b, a
+    la, lb = len(a), len(b)
+    if la == 0:
+        sim = 1.0
+    else:
+        dmin = 2 * la
+        for off in range(lb - la + 1):
+            w = b[off : off + la]
+            sa, sw = _strip_common(a, w)
+            d = _dp_distance(sa, sw, 1, 1, 2)
+            if d < dmin:
+                dmin = d
+                if dmin == 0:
+                    break
+        # same float expression tree as ratio()/the CTE oracle
+        # (1.0 - d/lensum), so window maxima are bit-identical cross-engine
+        sim = 1.0 - dmin / (2 * la)
+    if score_cutoff is not None and sim < score_cutoff:
+        return 0.0
+    return sim
+
+
 def hamming(
     s1: StrOrBytes,
     s2: StrOrBytes,

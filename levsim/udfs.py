@@ -267,3 +267,15 @@ def affine_gap_udf(gap_open: int = 2, gap_extend: int = 1, sub_cost: int = 2,
         return _mask(vals, nulls, "Int64")
 
     return _once(_udf)
+
+
+def partial_ratio_udf(score_cutoff: Optional[float] = None):
+    """Best-window indel similarity column (fuzz family engine extra,
+    kernels.partial_ratio): shorter side slides over the longer."""
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_partial_ratio(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
+        return _mask(vals, nulls, "float64")
+
+    return _once(_udf)

@@ -296,3 +296,34 @@ def test_affine_gap_matches_gotoh(a, b, o, e, s):
     assert K.affine_gap_distance(
         a, b, gap_open=o, gap_extend=e, sub_cost=s
     ) == _affine_ref(a, b, o, e, s)
+
+
+def test_partial_ratio_golden():
+    f = K.partial_ratio
+    assert f("abc", "xxabcxx") == 1.0          # exact substring
+    assert f("xxabcxx", "abc") == 1.0          # symmetric (shorter is needle)
+    assert f("", "") == 1.0
+    assert f("", "abc") == 1.0                 # empty needle spec
+    assert f("abc", "abc") == 1.0
+    assert f("abd", "xxabcxx") == 1.0 - 2 / 6  # best window 'abc': one sub = indel 2
+    assert f("abc", "xyz") == 0.0
+    assert f("abc", "xxabcxx", score_cutoff=0.9) == 1.0
+    assert f("abd", "xxabcxx", score_cutoff=0.9) == 0.0  # below cutoff -> 0.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(short_texts, short_texts)
+def test_partial_ratio_is_window_max(a, b):
+    """Spec: exhaustive max over |needle|-length windows of ratio()."""
+    needle, hay = (a, b) if len(a) <= len(b) else (b, a)
+    if len(needle) == 0:
+        want = 1.0
+    else:
+        want = max(
+            K.ratio(needle, hay[off:off + len(needle)])
+            for off in range(len(hay) - len(needle) + 1)
+        )
+    assert K.partial_ratio(a, b) == want
+    # partial_ratio dominates plain ratio on equal-length inputs
+    if len(a) == len(b):
+        assert K.partial_ratio(a, b) >= K.ratio(a, b)
