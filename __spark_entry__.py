@@ -490,6 +490,71 @@ def q_repetition_ngram_stats(spark, sf_dir):
     )
 
 
+def _synthetic_url():
+    """Deterministic messy URL per doc (mirrored verbatim in the oracle):
+    uppercase www host, tracking params, unsorted query, fragment."""
+    doc_id, lang, source = F.col("doc_id"), F.col("lang"), F.col("source")
+    return F.concat(
+        F.lit("https://WWW."), source, F.lit(".Example.com/"), lang, F.lit("/"),
+        doc_id.cast("string"),
+        F.lit("?utm_source=x&b="), (doc_id % 7).cast("string"),
+        F.lit("&a="), (doc_id % 3).cast("string"),
+        F.lit("&fbclid=zz#frag"),
+    )
+
+
+def q_canonical_url_docs(spark, sf_dir):
+    """URL canonicalization (levsim/extras/webprep.py): lowercased
+    scheme/host, www stripped, fragment dropped, tracking params removed,
+    remaining params sorted.  The regexp chain is the cross-engine spec
+    (no parse_url in DuckDB); the oracle runs the identical chain."""
+    from levsim.extras.webprep import canonical_url
+
+    d = _docs(spark, sf_dir).withColumn("url", _synthetic_url())
+    return d.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+
+
+def q_dataset_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment via md5 buckets (stable
+    across engines/partitionings/retries — never RNG or partition ids).
+    Oracle recomputes the same md5 15-hex-char integer with the
+    established per-digit strpos fold."""
+    from levsim.extras.webprep import dataset_split, split_bucket
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        split_bucket(F.col("doc_id")).cast("long").alias("bucket"),
+        dataset_split(F.col("doc_id")).alias("split"),
+    )
+
+
+def q_pii_redaction_stats(spark, sf_dir):
+    """PII redaction over texts with deterministic seeded PII (email, URL
+    with embedded address, long digit run): emits the redacted text plus
+    exact integer match counts.  Order of application (URL -> email ->
+    digits) is part of the spec on both engines."""
+    from levsim.extras.webprep import pii_counts, redact_pii
+
+    d = _docs(spark, sf_dir).withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/p?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref "), (F.col("doc_id") * 1000000 + 123456).cast("string"),
+        ),
+    )
+    return d.withColumn("c", pii_counts(F.col("t"))).select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("redacted"),
+        F.col("c.n_urls").alias("n_urls"),
+        F.col("c.n_emails").alias("n_emails"),
+        F.col("c.n_nums").alias("n_nums"),
+    )
+
+
 def q_token_stats_lang(spark, sf_dir):
     from levsim.extras.textstats import token_count
 
@@ -1215,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cosine_pairs": q_token_cosine_pairs,
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
+        "canonical_url_docs": q_canonical_url_docs,
+        "dataset_split_assign": q_dataset_split_assign,
+        "pii_redaction_stats": q_pii_redaction_stats,
         "punct_alpha_stats": q_punct_alpha_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
@@ -1896,6 +1964,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE length(list_intersect(a.sh, b.sh)) * 2 >= "
             "a.n + b.n - length(list_intersect(a.sh, b.sh))"
+        ),
+        "canonical_url_docs": (
+            "WITH u0 AS (SELECT doc_id, 'https://WWW.' || source || '.Example.com/' "
+            "|| lang || '/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '&a=' || CAST(doc_id % 3 AS VARCHAR) || "
+            "'&fbclid=zz#frag' AS url FROM documents), "
+            "parts AS (SELECT doc_id, "
+            "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+            "regexp_replace(lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS host, "
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
+            "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u0), "
+            "f AS (SELECT doc_id, scheme, host, path, "
+            "list_sort(list_filter(string_split(query, '&'), p -> p != '' "
+            "AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid') "
+            "AND NOT starts_with(p, 'gclid'))) AS params FROM parts) "
+            "SELECT doc_id, scheme || '://' || host || "
+            "CASE WHEN path = '' THEN '/' ELSE path END || "
+            "CASE WHEN length(params) > 0 THEN '?' || array_to_string(params, '&') "
+            "ELSE '' END AS curl FROM f"
+        ),
+        "dataset_split_assign": (
+            "WITH h AS (SELECT doc_id, "
+            + _MD5_HASH15.format(t="'levsim:' || CAST(doc_id AS VARCHAR)")
+            + " % 1000 AS bucket FROM documents) "
+            "SELECT doc_id, bucket, CASE WHEN bucket < 900 THEN 'train' "
+            "WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split FROM h"
+        ),
+        "pii_redaction_stats": (
+            # DuckDB regexp_replace needs the 'g' flag (Spark is global by
+            # default); patterns are RE2-compatible by construction
+            "WITH t0 AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com or https://ex.com/p?id=' || "
+            "CAST(doc_id AS VARCHAR) || ' ref ' || "
+            "CAST(doc_id * 1000000 + 123456 AS VARCHAR) AS t FROM documents), "
+            "s1 AS (SELECT doc_id, t, "
+            "regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t1 FROM t0), "
+            "s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 "
+            "FROM s1) "
+            "SELECT doc_id, "
+            "regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS redacted, "
+            "CAST(length(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls, "
+            "CAST(length(regexp_extract_all(t1, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            "CAST(length(regexp_extract_all(t2, '[0-9]{6,}')) AS BIGINT) AS n_nums "
+            "FROM s2"
         ),
         "repetition_ngram_stats": (
             "WITH toks AS (SELECT doc_id, "

@@ -1,0 +1,137 @@
+"""Web-pipeline preparation utilities — pure Catalyst column expressions.
+
+Three operators a Common-Crawl-scale training-data pipeline needs ahead of
+dedup/scoring, each built ONLY from expressions that exist verbatim in both
+Spark SQL and DuckDB (regexp_extract / regexp_replace with RE2-compatible
+patterns, md5, list algebra), so every one is DuckDB-oracle-able:
+
+- :func:`canonical_url` — URL canonicalization for dedup/blocking keys
+- :func:`split_bucket` / :func:`dataset_split` — deterministic, seedable
+  train/val/test assignment via md5 buckets (stable across engines,
+  partitionings and retries; never derived from RNG or partition ids)
+- :func:`redact_pii` + :func:`pii_counts` — email / URL / long-digit-run
+  redaction with exact integer match counts
+
+All regex patterns avoid backreferences and lookarounds (RE2 has neither),
+mirroring the phonetic_key approach in levsim/normalize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RE2-compatible (no backrefs/lookaround); identical semantics under Java
+# regex.  Order of application matters and is part of the spec: URLs first
+# (an email inside a URL query is part of the URL), then emails, then
+# long digit runs.
+RE_URL = r"https?://[^ ]+"
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_LONGNUM = r"[0-9]{6,}"
+
+# tracking parameters stripped by canonical_url (public lists: utm_* per
+# Google Analytics docs, fbclid/gclid click ids)
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+
+def _c(col) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of an absolute http(s) URL, as one pure-column chain:
+
+    - scheme and host lowercased, leading ``www.`` stripped
+    - fragment dropped
+    - tracking query params (``utm_*``, ``fbclid``, ``gclid``) removed
+    - remaining query params sorted (binary collation — ASCII-stable in
+      both engines), empty query dropped
+    - empty path becomes ``/``
+
+    Scope (documented): absolute ``scheme://host[/path][?query][#frag]``
+    URLs without userinfo; no percent-decoding (decoding can CHANGE
+    semantics, e.g. encoded '&') and no port-default folding.  Not built
+    on ``parse_url`` because DuckDB lacks it — the regexp chain is the
+    cross-engine spec.
+    """
+    u = _c(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid")
+        & ~p.startswith("gclid"),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        qpart,
+    )
+
+
+def split_bucket(id_col, n_buckets: int = 1000, seed: str = "levsim") -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(seed || ':' || id).
+
+    md5 is the one hash both engines share (same trick as
+    md5_token_hash_col); the first 15 hex chars fit a BIGINT exactly.
+    Stable under repartitioning, task retries and engine choice — the
+    property RNG-based splits lack.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), _c(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dataset_split(id_col, train: int = 900, val: int = 950,
+                  n_buckets: int = 1000, seed: str = "levsim") -> Column:
+    """'train' / 'val' / 'test' label: bucket < train -> train,
+    < val -> val, else test (defaults: 90/5/5)."""
+    b = split_bucket(id_col, n_buckets, seed)
+    return (
+        F.when(b < train, F.lit("train"))
+        .when(b < val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def redact_pii(col) -> Column:
+    """Replace URLs, then emails, then 6+-digit runs with <URL> / <EMAIL> /
+    <NUM> placeholders.  Application order is part of the spec (an email
+    inside a URL is redacted as part of the URL)."""
+    t = F.regexp_replace(_c(col), RE_URL, "<URL>")
+    t = F.regexp_replace(t, RE_EMAIL, "<EMAIL>")
+    return F.regexp_replace(t, RE_LONGNUM, "<NUM>")
+
+
+def pii_counts(col) -> Column:
+    """struct(n_urls, n_emails, n_nums) — exact integer match counts with
+    the same application order as :func:`redact_pii` (emails/nums counted
+    AFTER URL removal so nothing is double-counted)."""
+    t0 = _c(col)
+    n_urls = F.size(F.regexp_extract_all(t0, F.lit(RE_URL), F.lit(0)))
+    t1 = F.regexp_replace(t0, RE_URL, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(t1, F.lit(RE_EMAIL), F.lit(0)))
+    t2 = F.regexp_replace(t1, RE_EMAIL, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(t2, F.lit(RE_LONGNUM), F.lit(0)))
+    return F.struct(
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        n_nums.cast("long").alias("n_nums"),
+    )

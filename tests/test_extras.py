@@ -624,3 +624,59 @@ def test_ngram_repetition_counts(spark):
         want = (len(grams), len(c), max(c.values()) if c else 0)
         assert got[i] == want, (i, got[i], want)
     assert got[0] == (5, 2, 3) and got[4] == (3, 1, 3) and got[3] == (0, 0, 0)
+
+
+def test_canonical_url(spark):
+    from levsim.extras.webprep import canonical_url
+
+    cases = {
+        "HTTPS://WWW.Example.com/Path/x?utm_source=a&b=2&a=1&fbclid=zz#frag":
+            "https://example.com/Path/x?a=1&b=2",
+        "http://site.org": "http://site.org/",
+        "https://a.b/p?utm_x=1": "https://a.b/p",
+        "https://www.c.d/e?gclid=1&z=9&y=8#x": "https://c.d/e?y=8&z=9",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.c for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == cases
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from levsim.extras.webprep import dataset_split, split_bucket
+
+    df = spark.range(20000)
+    out = df.select(
+        "id", split_bucket(F.col("id")).alias("b"), dataset_split(F.col("id")).alias("s")
+    )
+    counts = {r.s: r["count"] for r in out.groupBy("s").count().collect()}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+    # stable across repartitioning (no RNG, no partition ids)
+    again = {
+        r.id: r.s
+        for r in df.repartition(17).select(
+            "id", dataset_split(F.col("id")).alias("s")
+        ).collect()
+    }
+    first = {r.id: r.s for r in out.select("id", "s").collect()}
+    assert first == again
+    # different seed -> different assignment (not a constant function)
+    other = {
+        r.id: r.s
+        for r in df.select("id", dataset_split(F.col("id"), seed="v2").alias("s")).collect()
+    }
+    assert other != first
+
+
+def test_pii_redaction(spark):
+    from levsim.extras.webprep import pii_counts, redact_pii
+
+    t = "mail bob@x.co see https://y.z/q?e=a@b.cd ref 1234567 ok 12345"
+    df = spark.createDataFrame([(t,)], "t string")
+    r = df.select(
+        redact_pii(F.col("t")).alias("r"), pii_counts(F.col("t")).alias("c")
+    ).collect()[0]
+    # the URL (with its embedded address) goes first, 5-digit run survives
+    assert r.r == "mail <EMAIL> see <URL> ref <NUM> ok 12345"
+    assert (r.c.n_urls, r.c.n_emails, r.c.n_nums) == (1, 1, 1)
