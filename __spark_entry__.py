@@ -555,6 +555,33 @@ def q_pii_redaction_stats(spark, sf_dir):
     )
 
 
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic pseudo-random sample: 2 docs per (lang, source) by
+    smallest md5('levsim:'||doc_id) — exact bounded two-phase top-K (no
+    full-group window), reproducible across engines/partitionings.  Oracle
+    is the textbook row_number over the same md5 integer."""
+    from levsim.extras.sampling import sample_per_group
+
+    d = _docs(spark, sf_dir)
+    return sample_per_group(d, ["lang", "source"], "doc_id", 2)
+
+
+def q_kmv_token_sketch(spark, sf_dir):
+    """KMV (bottom-k, k=16) distinct-token sketch per lang: exact integer
+    sketch state (k-th smallest md5 hash) plus the deterministic estimate
+    expression — the mergeable distributed sketch checked EXACTLY, not
+    statistically, because md5 makes it bit-deterministic."""
+    from levsim.extras.sampling import kmv_distinct_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))).alias("tok")
+    )
+    out = kmv_distinct_sketch(toks, ["lang"], "tok", k=16)
+    return out.select(
+        "lang", "n_kept", "kth_hash", F.round("est_distinct", 6).alias("est")
+    )
+
+
 def q_token_stats_lang(spark, sf_dir):
     from levsim.extras.textstats import token_count
 
@@ -1281,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
         "canonical_url_docs": q_canonical_url_docs,
+        "sample_per_group": q_sample_per_group,
+        "kmv_token_sketch": q_kmv_token_sketch,
         "dataset_split_assign": q_dataset_split_assign,
         "pii_redaction_stats": q_pii_redaction_stats,
         "punct_alpha_stats": q_punct_alpha_stats,
@@ -1984,6 +2013,29 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN path = '' THEN '/' ELSE path END || "
             "CASE WHEN length(params) > 0 THEN '?' || array_to_string(params, '&') "
             "ELSE '' END AS curl FROM f"
+        ),
+        "sample_per_group": (
+            "WITH h AS (SELECT lang, source, doc_id, "
+            + _MD5_HASH15.format(t="'levsim:' || CAST(doc_id AS VARCHAR)")
+            + " AS h FROM documents), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY lang, source ORDER BY h) AS rn FROM h) "
+            "SELECT lang, source, doc_id, h FROM r WHERE rn <= 2"
+        ),
+        "kmv_token_sketch": (
+            "WITH toks AS (SELECT DISTINCT lang, tok FROM (SELECT lang, "
+            "unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok "
+            "FROM documents)), "
+            "h AS (SELECT lang, " + _MD5_HASH15.format(t="CAST(tok AS VARCHAR)")
+            + " AS h FROM toks), "
+            "r AS (SELECT lang, h, row_number() OVER "
+            "(PARTITION BY lang ORDER BY h) AS rn FROM h), "
+            "k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(max(h) AS BIGINT) AS kth_hash FROM r WHERE rn <= 16 GROUP BY lang) "
+            "SELECT lang, n_kept, kth_hash, "
+            "round(CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE) "
+            "ELSE (15.0 * 1152921504606846976.0) / CAST(kth_hash AS DOUBLE) END, 6) "
+            "AS est FROM k"
         ),
         "dataset_split_assign": (
             "WITH h AS (SELECT doc_id, "

@@ -1,0 +1,118 @@
+"""Bounded per-group top-K and the operators built on it — deterministic
+sampling and KMV distinct-count sketches.
+
+The core primitive is the two-phase bounded top-K that round 3 introduced
+inside ``exact_duplicates`` (VERDICT round-2 item 6), extracted and
+generalized: a ``row_number().over(partitionBy(group))`` window ships EVERY
+row of a mega-group to one task before discarding all but K — the classic
+skew killer.  Instead:
+
+  phase 1: groupBy(group, spark_partition_id) with
+           ``slice(sort_array(collect_list(...)), 1, k)`` — per-task state
+           is bounded by the input-split size, per-group partial state by k
+  phase 2: merge partials with the same slice∘sort∘flatten — per-group
+           state is (#partitions that saw the group) * k
+
+The union of per-partition K-smallest always contains the global
+K-smallest, so the result is exact.
+
+KMV ("k minimum values" / bottom-k) sketch: with k smallest values of a
+uniform hash over a set, E[|set|] ≈ (k-1) / h_k for h_k the k-th smallest
+hash mapped to (0,1] (Bar-Yossef et al. 2002, public).  Using md5 (the one
+hash both engines share) makes the sketch BIT-DETERMINISTIC: the same set
+yields the same k-th hash on Spark and DuckDB, so the driver oracle checks
+the sketch exactly, not statistically.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5 15-hex-char integer range is [0, 16^15); hashes are ~uniform on it
+MD5_SPACE = 16 ** 15
+
+
+def md5_long(col, seed: str = "") -> F.Column:
+    """First 15 hex chars of md5 as a non-negative BIGINT — the
+    cross-engine hash (same construction as dedup.md5_token_hash_col)."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    pre = F.concat(F.lit(seed + ":"), c.cast("string")) if seed else c.cast("string")
+    return F.conv(F.substring(F.md5(pre), 1, 15), 16, 10).cast("long")
+
+
+def bounded_topk_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    order_col: str,
+    k: int,
+    payload_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Exact K smallest rows per group by ``order_col`` with BOUNDED task
+    state (two-phase; see module docstring).  Returns one row per group
+    with ``topk``: array<struct(order_col, *payload_cols)> ascending."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    payload_cols = payload_cols or []
+    partial = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_cols, "_pid")
+        .agg(F.expr(f"slice(sort_array(collect_list(struct({', '.join([order_col] + payload_cols)}))), 1, {k})").alias("part"))
+    )
+    return (
+        partial.groupBy(*group_cols)
+        .agg(F.expr(f"slice(sort_array(flatten(collect_list(part))), 1, {k})").alias("topk"))
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    id_col: str,
+    k: int,
+    seed: str = "levsim",
+) -> DataFrame:
+    """Deterministic pseudo-random sample of ``k`` rows per group: the k
+    smallest md5(seed:id) values.  Unlike ``df.sample`` this is stable
+    across engines, partitionings and retries, and exactly reproducible in
+    SQL — the property a training-data pipeline needs for auditable
+    subsets.  Returns exploded rows (group_cols, id_col, sort key ``h``)."""
+    keyed = df.select(*group_cols, F.col(id_col), md5_long(F.col(id_col), seed).alias("h"))
+    top = bounded_topk_per_group(keyed, group_cols, "h", k, [id_col])
+    return top.select(
+        *group_cols, F.explode("topk").alias("s")
+    ).select(*group_cols, F.col(f"s.{id_col}").alias(id_col), F.col("s.h").alias("h"))
+
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    group_cols: List[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch per group over
+    ``value_col``: hashes distinct values with md5, keeps the k smallest,
+    and estimates the distinct count as (k-1) * MD5_SPACE / h_k (exact
+    count when the group has < k distinct values).
+
+    All sketch state is exact integers; the estimate is ONE deterministic
+    double expression over them, so the whole output is oracle-able.
+    Mergeability (union of bottom-k sets -> bottom-k of union) is what
+    makes this the distributed sketch of choice; the same two-phase
+    aggregation implements the merge.
+    """
+    vals = df.select(*group_cols, F.col(value_col)).distinct()
+    hashed = vals.select(*group_cols, md5_long(F.col(value_col)).alias("h"))
+    top = bounded_topk_per_group(hashed, group_cols, "h", k)
+    n_kept = F.size("topk")
+    kth = F.element_at("topk", n_kept)["h"]
+    return top.select(
+        *group_cols,
+        n_kept.cast("long").alias("n_kept"),
+        kth.alias("kth_hash"),
+        F.when(n_kept < k, n_kept.cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(MD5_SPACE)) / kth.cast("double"))
+        .alias("est_distinct"),
+    )

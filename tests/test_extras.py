@@ -680,3 +680,57 @@ def test_pii_redaction(spark):
     # the URL (with its embedded address) goes first, 5-digit run survives
     assert r.r == "mail <EMAIL> see <URL> ref <NUM> ok 12345"
     assert (r.c.n_urls, r.c.n_emails, r.c.n_nums) == (1, 1, 1)
+
+
+def test_bounded_topk_matches_naive_window(spark):
+    import random
+
+    from levsim.extras.sampling import bounded_topk_per_group
+
+    rng = random.Random(5)
+    rows = [(f"g{i % 7}", rng.randint(0, 1000), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long, pay long").repartition(13)
+    got = {
+        r.g: [(s.v, s.pay) for s in r.topk]
+        for r in bounded_topk_per_group(df, ["g"], "v", 4, ["pay"]).collect()
+    }
+    want = {}
+    for g, v, pay in rows:
+        want.setdefault(g, []).append((v, pay))
+    want = {g: sorted(vs)[:4] for g, vs in want.items()}
+    assert got == want
+    with pytest.raises(ValueError):
+        bounded_topk_per_group(df, ["g"], "v", 0)
+
+
+def test_kmv_sketch_exact_and_estimate_branches(spark):
+    from levsim.extras.sampling import kmv_distinct_sketch
+
+    rows = [("small", f"v{i}") for i in range(5)] + [
+        ("big", f"w{i}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, val string")
+    out = {r.g: r for r in kmv_distinct_sketch(df, ["g"], "val", k=16).collect()}
+    # < k distinct -> exact count
+    assert out["small"].n_kept == 5 and out["small"].est_distinct == 5.0
+    # >= k -> estimate within 50% at k=16 (statistical, seed-free but
+    # md5-deterministic: this asserts THE value the oracle also computes)
+    assert out["big"].n_kept == 16
+    assert 250 <= out["big"].est_distinct <= 1000
+    # duplicates don't change the sketch (set semantics)
+    df2 = df.union(df)
+    out2 = {r.g: r.kth_hash for r in kmv_distinct_sketch(df2, ["g"], "val", k=16).collect()}
+    assert out2 == {g: r.kth_hash for g, r in out.items()}
+
+
+def test_sample_per_group_deterministic(spark):
+    from levsim.extras.sampling import sample_per_group
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id")
+    )
+    a = {(r.g, r.id) for r in sample_per_group(df, ["g"], "id", 5).collect()}
+    b = {(r.g, r.id) for r in sample_per_group(df.repartition(11), ["g"], "id", 5).collect()}
+    assert a == b and len(a) == 20
+    c = {(r.g, r.id) for r in sample_per_group(df, ["g"], "id", 5, seed="other").collect()}
+    assert c != a
