@@ -1229,6 +1229,35 @@ def q_ivf_topk_exact(spark, sf_dir):
     return ivf_topk(e, q, k=3, nlist=8, nprobe=8, round_decimals=3)
 
 
+def q_seqratio_char_lists(spark, sf_dir):
+    """LIST-form seqratio with a hard oracle: consecutive docs per
+    (lang, source) compared as lists of the first 8 CHARS.  With 1-char
+    elements the outer seq-DP's substitution cost 2*indel/l degenerates to
+    the plain indel recurrence, so seqratio(char-list) == ratio(string) —
+    and lensum = 16 is a power of two, so (16-d)/16 (kernel) and 1 - d/16
+    (oracle CTE) are the same exact dyadic double (bit-verified on 5000
+    random 8/8 cases).  This oracle-checks the exact UDF + lead-window
+    plumbing that the full-token seqratio_groups query runs rows-only."""
+    from levsim.udfs import seqratio_udf
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", "doc_id",
+        F.filter(
+            F.split(F.substring("text", 1, 8), "(?!^)"), lambda t: t != F.lit("")
+        ).alias("chars"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    p = (
+        d.withColumn("chars_next", F.lead("chars").over(w))
+        .withColumn("id_b", F.lead("doc_id").over(w))
+        .where(F.col("id_b").isNotNull())
+    )
+    return p.select(
+        F.col("doc_id").alias("id_a"), "id_b",
+        F.round(seqratio_udf()("chars", "chars_next"), 6).alias("seqratio"),
+    )
+
+
 def q_seqratio_groups(spark, sf_dir):  # rows-only (no SQL seqratio)
     from levsim.udfs import seqratio_udf, setratio_udf
 
@@ -1329,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
+        "seqratio_char_lists": q_seqratio_char_lists,
         "lev_ratio_trunc": q_lev_ratio_trunc,
         "token_sort_ratio": q_token_sort_ratio,
         "osa_distance_pairs": q_osa_distance_pairs,
@@ -2159,6 +2189,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lev_distance_hint": _P_CTE
         + "SELECT id_a, id_b, levenshtein(text_a, text_b) AS dist FROM p",
+        "seqratio_char_lists": (
+            "WITH RECURSIVE q0 AS (SELECT lang, source, doc_id, "
+            "substr(text, 1, 8) AS t8 FROM documents), "
+            "q1 AS (SELECT doc_id AS id_a, lead(doc_id) OVER w AS id_b, "
+            "t8 AS ta, lead(t8) OVER w AS tb FROM q0 "
+            "WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id)), "
+            "p AS (SELECT id_a, id_b, ta, tb FROM q1 WHERE id_b IS NOT NULL), "
+            "dp AS ("
+            "SELECT id_a, id_b, ta, tb, 0 AS i, "
+            "list_transform(generate_series(0, length(tb)), j -> j) AS row FROM p "
+            "UNION ALL "
+            "SELECT id_a, id_b, ta, tb, i + 1 AS i, "
+            "list_transform(generate_series(0, length(tb)), j -> "
+            "j + list_min(list_transform(generate_series(0, j), k -> "
+            "(CASE WHEN k = 0 THEN i + 1 "
+            "ELSE least(row[k+1] + 1, CASE WHEN substr(ta, i+1, 1) = substr(tb, k, 1) "
+            "THEN row[k] ELSE 999999 END) END) - k))) AS row "
+            "FROM dp WHERE i < length(ta)) "
+            "SELECT id_a, id_b, round(CASE WHEN length(ta) + length(tb) = 0 THEN 1.0 "
+            "ELSE 1.0 - row[length(tb)+1] * 1.0 / (length(ta) + length(tb)) END, 6) "
+            "AS seqratio FROM dp WHERE i = length(ta)"
+        ),
         "lev_ratio_trunc": _indel_cte_sql(20, "ratio"),
         "osa_distance_pairs": _osa_cte_sql(),
         "token_set_ratio": _token_set_ratio_sql(16),
