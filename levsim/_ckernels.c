@@ -538,6 +538,60 @@ void batch_hamming(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, co
     }
 }
 
+/* ------------------ OSA (restricted Damerau) -------------------------- */
+
+/* Three-row DP mirroring levsim.kernels.osa_distance exactly: unit-cost
+ * Levenshtein plus adjacent transposition via dp[i-2][j-2] + 1 when
+ * a[i-1] == b[j-2] && a[i-2] == b[j-1].  Common-affix strip is exact for
+ * OSA (an optimal script never transposes across an equal-affix boundary).
+ * Cutoff clamping happens in the caller (levsim.batch.batch_osa), same as
+ * batch_lev_weighted. */
+static int64_t osa_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                       int64_t *p2, int64_t *p1, int64_t *cur)
+{
+    strip_common(&a, &m, &b, &n);
+    if (m == 0) return n;
+    if (n == 0) return m;
+    for (int64_t j = 0; j <= n; j++) p1[j] = j;
+    for (int64_t i = 1; i <= m; i++) {
+        cur[0] = i;
+        uint32_t ai = a[i - 1];
+        for (int64_t j = 1; j <= n; j++) {
+            int64_t v = p1[j - 1] + ((b[j - 1] == ai) ? 0 : 1);
+            int64_t d = p1[j] + 1;
+            if (d < v) v = d;
+            int64_t ins = cur[j - 1] + 1;
+            if (ins < v) v = ins;
+            if (i > 1 && j > 1 && b[j - 2] == ai && a[i - 2] == b[j - 1]) {
+                int64_t t = p2[j - 2] + 1;
+                if (t < v) v = t;
+            }
+            cur[j] = v;
+        }
+        int64_t *tmp = p2; p2 = p1; p1 = cur; cur = tmp;
+    }
+    return p1[n];
+}
+
+void batch_osa(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+               int64_t npairs, int64_t *out)
+{
+    int64_t maxn = 0;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t ln = ob[i + 1] - ob[i];
+        if (ln > maxn) maxn = ln;
+    }
+    int64_t *p2 = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t *p1 = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t *cur = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = osa_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i],
+                         p2, p1, cur);
+    free(p2);
+    free(p1);
+    free(cur);
+}
+
 /* ----------------------------- SimHash -------------------------------- */
 
 /* 64-bit SimHash per doc (Charikar 2002): tokenize on whitespace runs

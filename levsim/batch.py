@@ -201,8 +201,15 @@ def batch_hamming(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray,
 
 def batch_osa(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """OSA (restricted Damerau) distance per pair -> (int64 values, null
-    mask).  NumPy row-vectorized scalar kernel per pair (no C kernel yet —
-    the DP is the same min-plus scan shape as the weighted path)."""
+    mask).  C three-row DP when the compiled kernels are available
+    (bit-identical to the NumPy fallback — asserted in test_batch);
+    cutoff clamps post-hoc like batch_lev_weighted."""
+    res = _call_c("batch_osa", a, b)
+    if res is not None:
+        out, nulls = res
+        if score_cutoff is not None:
+            out = np.where(out > score_cutoff, score_cutoff + 1, out)
+        return out, nulls
     n = len(a)
     out = np.empty(n, dtype=np.int64)
     nulls = np.zeros(n, dtype=bool)
