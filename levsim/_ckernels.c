@@ -592,6 +592,71 @@ void batch_osa(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const 
     free(cur);
 }
 
+/* ------------------ affine-gap (Gotoh) alignment ---------------------- */
+
+/* Two-row Gotoh mirroring levsim.kernels.affine_gap_distance: V = overall
+ * min, D = deletion state; the insertion state needs no carried row (it is
+ * rebuilt left-to-right within the row).  No affix strip: gap runs price
+ * open + len * extend, so stripping would change run lengths. */
+static int64_t affine_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                          int64_t o, int64_t e, int64_t s,
+                          int64_t *V, int64_t *D, int64_t *nV, int64_t *nD)
+{
+    const int64_t INF = (int64_t)1 << 60;
+    if (m == 0 || n == 0) return (m == 0 && n == 0) ? 0 : o + e * (m + n);
+    V[0] = 0;
+    for (int64_t j = 1; j <= n; j++) { V[j] = o + e * j; D[j] = INF; }
+    D[0] = INF;
+    for (int64_t i = 1; i <= m; i++) {
+        uint32_t ai = a[i - 1];
+        int64_t ins = INF; /* I state of current row, built left to right */
+        for (int64_t j = 0; j <= n; j++) {
+            int64_t nd = D[j] + e;
+            int64_t vo = V[j] + o + e;
+            if (vo < nd) nd = vo;
+            nD[j] = nd;
+            int64_t md = nd;
+            if (j > 0) {
+                int64_t mv = V[j - 1] + ((b[j - 1] == ai) ? 0 : s);
+                if (mv < md) md = mv;
+            }
+            int64_t nv = md;
+            if (j > 0 && ins < nv) nv = ins;
+            nV[j] = nv;
+            /* I for the next column: extend the current I or open from
+             * this column's MD (opens from I are dominated by extends) */
+            int64_t from_md = md + o + e;
+            int64_t ext = ins + e;
+            ins = ext < from_md ? ext : from_md;
+        }
+        int64_t *t;
+        t = V; V = nV; nV = t;
+        t = D; D = nD; nD = t;
+    }
+    return V[n];
+}
+
+void batch_affine(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                  int64_t npairs, int64_t go, int64_t ge, int64_t gs, int64_t *out)
+{
+    int64_t maxn = 0;
+    for (int64_t i = 0; i < npairs; i++) {
+        int64_t ln = ob[i + 1] - ob[i];
+        if (ln > maxn) maxn = ln;
+    }
+    int64_t *V = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t *D = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t *nV = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    int64_t *nD = (int64_t *)malloc((size_t)(maxn + 2) * sizeof(int64_t));
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = affine_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i],
+                            go, ge, gs, V, D, nV, nD);
+    free(V);
+    free(D);
+    free(nV);
+    free(nD);
+}
+
 /* ----------------------------- SimHash -------------------------------- */
 
 /* 64-bit SimHash per doc (Charikar 2002): tokenize on whitespace runs

@@ -224,7 +224,18 @@ def batch_osa(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.
 
 def batch_affine_gap(a, b, gap_open: int = 2, gap_extend: int = 1, sub_cost: int = 2,
                      score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
-    """Affine-gap (Gotoh) distance per pair -> (int64 values, null mask)."""
+    """Affine-gap (Gotoh) distance per pair -> (int64 values, null mask).
+    C two-row Gotoh when available (bit-identical to the NumPy kernel)."""
+    import ctypes
+
+    res = _call_c("batch_affine", a, b,
+                  extra=(ctypes.c_int64(gap_open), ctypes.c_int64(gap_extend),
+                         ctypes.c_int64(sub_cost)))
+    if res is not None:
+        out, nulls = res
+        if score_cutoff is not None:
+            out = np.where(out > score_cutoff, score_cutoff + 1, out)
+        return out, nulls
     n = len(a)
     out = np.empty(n, dtype=np.int64)
     nulls = np.zeros(n, dtype=bool)

@@ -153,3 +153,20 @@ def test_batch_affine_gap_matches_scalar():
     got, _ = batch.batch_affine_gap(A[:100], B[:100])
     exp = [K.affine_gap_distance(x, y) for x, y in PAIRS[:100]]
     np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("costs", [(2, 1, 2), (0, 1, 1), (3, 0, 2)])
+def test_batch_affine_c_equals_scalar(costs):
+    o, e, s = costs
+    got, _ = batch.batch_affine_gap(A, B, gap_open=o, gap_extend=e, sub_cost=s)
+    exp = [K.affine_gap_distance(x, y, gap_open=o, gap_extend=e, sub_cost=s)
+           for x, y in PAIRS]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_batch_affine_fallback_identical(monkeypatch):
+    monkeypatch.setattr(cbuild, "_lib", None)
+    monkeypatch.setattr(cbuild, "_tried", True)
+    got, _ = batch.batch_affine_gap(A[:50], B[:50], score_cutoff=9)
+    exp = [K.affine_gap_distance(x, y, score_cutoff=9) for x, y in PAIRS[:50]]
+    np.testing.assert_array_equal(got, exp)
