@@ -67,3 +67,22 @@ def apply_ratio_prefilter(
     pairs: DataFrame, tau: float, len_a: str = "len_a", len_b: str = "len_b"
 ) -> DataFrame:
     return pairs.where(ratio_length_bound(F.col(len_a), F.col(len_b), tau))
+
+
+def osa_length_bound(len_a: Column, len_b: Column, cutoff: int) -> Column:
+    """TRUE iff the pair can still have OSA distance <= cutoff.  Exact:
+    substitutions and transpositions preserve the length difference, so
+    osa >= |l1 - l2| — the same bound as plain Levenshtein."""
+    return F.abs(len_a - len_b) <= F.lit(cutoff)
+
+
+def affine_gap_length_bound(
+    len_a: Column, len_b: Column, cutoff: int,
+    gap_open: int = 2, gap_extend: int = 1,
+) -> Column:
+    """TRUE iff the pair can still have affine-gap cost <= cutoff.  Exact:
+    a length difference of d > 0 requires at least d net indels, cheapest
+    as ONE run costing gap_open + gap_extend*d; equal lengths can cost 0."""
+    diff = F.abs(len_a - len_b)
+    lb = F.when(diff == 0, F.lit(0)).otherwise(gap_open + gap_extend * diff)
+    return lb <= F.lit(cutoff)

@@ -119,6 +119,12 @@ def multi_score_udf(scorers: Tuple[str, ...] = ("ratio", "jaro_winkler"),
         fields.append(StructField("jaro", DoubleType()))
     if "distance" in scorers:
         fields.append(StructField("lev_distance", LongType()))
+    if "osa" in scorers:
+        fields.append(StructField("osa", LongType()))
+    if "affine_gap" in scorers:
+        fields.append(StructField("affine_gap", LongType()))
+    if "partial_ratio" in scorers:
+        fields.append(StructField("partial_ratio", DoubleType()))
     schema = StructType(fields)
 
     @pandas_udf(schema)
@@ -141,6 +147,18 @@ def multi_score_udf(scorers: Tuple[str, ...] = ("ratio", "jaro_winkler"),
         if "distance" in scorers:
             v, n = batch.batch_distance(al, bl)
             out["lev_distance"] = v
+            nulls = n if nulls is None else nulls
+        if "osa" in scorers:
+            v, n = batch.batch_osa(al, bl)
+            out["osa"] = v
+            nulls = n if nulls is None else nulls
+        if "affine_gap" in scorers:
+            v, n = batch.batch_affine_gap(al, bl)
+            out["affine_gap"] = v
+            nulls = n if nulls is None else nulls
+        if "partial_ratio" in scorers:
+            v, n = batch.batch_partial_ratio(al, bl)
+            out["partial_ratio"] = v
             nulls = n if nulls is None else nulls
         df = pd.DataFrame(out)
         if nulls is not None and nulls.any():

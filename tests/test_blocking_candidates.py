@@ -249,3 +249,30 @@ def test_phonetic_blocking_pass(spark):
     keys = add_block_keys(df, passes=("phonetic",)).collect()
     by_doc = {r.doc_id: r.block_key for r in keys}
     assert by_doc == {"u1": "p:R163", "u2": "p:R163"}  # u3 empty -> no key
+
+
+def test_osa_affine_prefilter_bounds_are_exact(spark):
+    """The length bounds never prune a pair the scorer could keep, and the
+    affine bound is achieved by pure-run pairs (tightness)."""
+    import random
+
+    from levsim import kernels as K
+    from levsim.prefilter import affine_gap_length_bound, osa_length_bound
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 12)))
+        rows.append((i, a, b, len(a), len(b)))
+    df = spark.createDataFrame(rows, "i long, a string, b string, la int, lb int")
+    for cutoff in (0, 2, 5):
+        kept_osa = {r.i for r in df.where(osa_length_bound(F.col("la"), F.col("lb"), cutoff)).collect()}
+        kept_aff = {r.i for r in df.where(affine_gap_length_bound(F.col("la"), F.col("lb"), cutoff)).collect()}
+        for i, a, b, _, _ in rows:
+            if K.osa_distance(a, b) <= cutoff:
+                assert i in kept_osa, (a, b, cutoff)
+            if K.affine_gap_distance(a, b) <= cutoff:
+                assert i in kept_aff, (a, b, cutoff)
+    # tightness: 'abc' vs 'abcxx' costs exactly open + 2*extend
+    assert K.affine_gap_distance("abc", "abcxx") == 2 + 2
