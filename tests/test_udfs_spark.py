@@ -85,3 +85,24 @@ def test_nulls_propagate(spark):
     got = df.withColumn("s", udfs.lev_ratio_udf()("a", "b")).orderBy(F.col("a").asc_nulls_first()).collect()
     # sorted by a: (None,"x"), ("a","b"), ("abc",None)
     assert got[0].s is None and got[1].s is not None and got[2].s is None
+
+
+def test_multi_score_new_scorers(spark):
+    """osa / affine_gap / partial_ratio ride the single-Arrow-crossing
+    cascade and match their scalar kernels."""
+    from levsim import kernels as K
+    from levsim.udfs import multi_score_udf
+
+    rows = [("lewenstein", "levenshtein"), ("ab", "ba"), ("", "x"), ("same", "same")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    u = multi_score_udf(("ratio", "osa", "affine_gap", "partial_ratio"))
+    got = {
+        (r.a, r.b): r.s
+        for r in df.select("a", "b", u("a", "b").alias("s")).collect()
+    }
+    for a, b in rows:
+        s = got[(a, b)]
+        assert s.ratio == K.ratio(a, b)
+        assert s.osa == K.osa_distance(a, b)
+        assert s.affine_gap == K.affine_gap_distance(a, b)
+        assert s.partial_ratio == K.partial_ratio(a, b)
