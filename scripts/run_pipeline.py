@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--consensus", type=str, default="setmedian",
                     choices=["setmedian", "quickmedian", "median"])
     ap.add_argument("--evaluate", action="store_true")
+    ap.add_argument("--snm-window", type=int, default=0,
+                    help="enable the sorted-neighborhood candidate pass (0 = off)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,7 +58,8 @@ def main() -> None:
         ap.error("one of --synthesize or --input is required")
         return
 
-    cfg = ERConfig(tau=args.tau, consensus_method=args.consensus)
+    cfg = ERConfig(tau=args.tau, consensus_method=args.consensus,
+                   snm_window=args.snm_window or None)
     pipe = ERPipeline(spark, args.workdir, cfg)
     run = pipe.run(pages, pages_snapshot_id=input_id)
 
