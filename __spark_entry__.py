@@ -345,6 +345,23 @@ def q_quickmedian_chars(spark, sf_dir):
                               method="quickmedian", out_col="quickmedian_char")
 
 
+def q_median_improve_chars(spark, sf_dir):
+    # HARD oracle for kernels.median_improve (previously golden-only): one
+    # hill-climb pass from the deliberately bad seed '~' over single-char
+    # members must land on the weighted plurality char with smallest-
+    # codepoint tie-break (replace always beats delete; an insert's SOD
+    # 2W - w_p - w_x >= W - w_p can never win) — the same SQL argmax as
+    # quickmedian_chars, but exercising the perturbation scan itself.
+    # Property-tested over 3000 random multisets (tests).
+    from levsim.consensus import group_median_table
+
+    d = _docs(spark, sf_dir).where(F.length("text") > 0).select(
+        "lang", "source", "doc_id", F.substring("text", 1, 1).alias("t")
+    )
+    return group_median_table(d, ["lang", "source"], "t", "doc_id",
+                              method="median_improve", out_col="improved_char")
+
+
 def q_median_chars(spark, sf_dir):
     # Same single-char reduction for the greedy median (lev_greedy_median):
     # on 1-char members the greedy prefix search degenerates to the same
@@ -1323,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setmedian_groups": q_setmedian_groups,
         "quickmedian_chars": q_quickmedian_chars,
         "median_chars": q_median_chars,
+        "median_improve_chars": q_median_improve_chars,
         "quickmedian_groups": q_quickmedian_groups,
         "median_groups": q_median_groups,
         "block_pair_counts": q_block_pair_counts,
@@ -1911,6 +1929,14 @@ def oracle_sql() -> dict[str, str]:
         + (
             "SELECT lang, count(*) AS n_pairs, count(*) AS n_subtract_ok "
             "FROM p GROUP BY lang"
+        ),
+        "median_improve_chars": (
+            "WITH m AS (SELECT lang, source, substr(text, 1, 1) AS ch "
+            "FROM documents WHERE length(text) > 0), "
+            "c AS (SELECT lang, source, ch, count(*) AS n FROM m "
+            "GROUP BY lang, source, ch) "
+            "SELECT lang, source, (array_agg(ch ORDER BY n DESC, unicode(ch) ASC))[1] "
+            "AS improved_char FROM c GROUP BY lang, source"
         ),
         "quickmedian_chars": (
             "WITH m AS (SELECT lang, source, substr(text, 1, 1) AS ch "

@@ -93,6 +93,12 @@ def group_median_table(
             rep = kernels.quickmedian(texts) if texts else None
         elif method == "median":
             rep = kernels.median(texts) if texts else None
+        elif method == "median_improve":
+            # one hill-climbing pass from a deliberately BAD fixed seed
+            # ('~' sorts above every corpus char), so the pass itself must
+            # do the work — the driver query's single-char oracle checks
+            # the climb, not the seed
+            rep = kernels.median_improve("~", texts) if texts else None
         else:
             raise ValueError(method)
         row = {c: [k] for c, k in zip(group_cols, keys)}

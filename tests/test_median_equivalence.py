@@ -34,3 +34,21 @@ def test_median_long_random():
         strs = ["".join(rng.choice("abcdefgh ") for _ in range(rng.randint(50, 200)))
                 for _ in range(rng.randint(2, 6))]
         assert K.median(strs) == K._median_reference_impl(strs)
+
+
+def test_median_improve_single_char_reduction():
+    """median_improve from a bad seed over 1-char members == weighted
+    plurality with smallest-codepoint tie-break (the driver oracle's
+    reduction; replace beats delete, inserts can never win)."""
+    import random
+    from collections import Counter
+
+    from levsim.kernels import median_improve
+
+    rng = random.Random(17)
+    for _ in range(500):
+        chars = [rng.choice("abcdef") for _ in range(rng.randint(1, 12))]
+        c = Counter(chars)
+        best = max(c.values())
+        want = min(ch for ch in c if c[ch] == best)
+        assert median_improve("~", chars) == want, chars
