@@ -929,13 +929,18 @@ def q_partial_ratio_pairs(spark, sf_dir):
     ratio.  Oracle enumerates all 17 windows in SQL (the kernel's spec IS
     the exhaustive scan), runs the indel DP per window, takes the per-pair
     max — bit-identical because both engines use the 1.0 - d/lensum tree
-    with a constant lensum."""
+    with a constant lensum.  The needle comes from the shorter TEXT (tie:
+    side a) so the kernel never swap-slides a haystack the oracle didn't
+    enumerate — without this, a sub-8-char text_b silently empties the
+    oracle's window range while the kernel swaps sides (adversarial
+    fixture covers it)."""
     from levsim.udfs import partial_ratio_udf
 
+    a_short = F.length("text_a") <= F.length("text_b")
     p = _pairs(spark, sf_dir).select(
         "id_a", "id_b",
-        F.substring("text_a", 1, 8).alias("ta"),
-        F.substring("text_b", 1, 24).alias("tb"),
+        F.substring(F.when(a_short, F.col("text_a")).otherwise(F.col("text_b")), 1, 8).alias("ta"),
+        F.substring(F.when(a_short, F.col("text_b")).otherwise(F.col("text_a")), 1, 24).alias("tb"),
     )
     return p.select(
         "id_a", "id_b", F.round(partial_ratio_udf()("ta", "tb"), 6).alias("pratio")
@@ -1478,7 +1483,10 @@ def _partial_ratio_sql(needle_len: int = 8, hay_len: int = 24) -> str:
     (pair, off), and the per-pair max is the score."""
     return (
         "WITH RECURSIVE p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-        f"substr(a.text, 1, {needle_len}) AS na, substr(b.text, 1, {hay_len}) AS hay "
+        "substr(CASE WHEN length(a.text) <= length(b.text) THEN a.text "
+        f"ELSE b.text END, 1, {needle_len}) AS na, "
+        "substr(CASE WHEN length(a.text) <= length(b.text) THEN b.text "
+        f"ELSE a.text END, 1, {hay_len}) AS hay "
         "FROM documents a JOIN documents b "
         "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), "
         "p AS (SELECT id_a, id_b, off, na AS ta, substr(hay, off, length(na)) AS tb "
@@ -1513,9 +1521,15 @@ def _token_set_ratio_sql(trunc_len: int = 16) -> str:
             f"lower({c}), '\\s+', ' ', 'g')), ' '), t -> t != ''))"
         )
 
-    sect = "array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' ')"
-    only_a = "array_to_string(list_sort(list_filter(ta, t -> NOT list_contains(tb, t))), ' ')"
-    only_b = "array_to_string(list_sort(list_filter(tb, t -> NOT list_contains(ta, t))), ' ')"
+    # coalesce: DuckDB array_to_string([]) is NULL (Spark array_join([]) is
+    # ''), and a NULL ta silently drops the variant from the recursive DP
+    # (caught by the adversarial empty-text fixture)
+    sect = ("coalesce(array_to_string(list_sort("
+            "list_filter(ta, t -> list_contains(tb, t))), ' '), '')")
+    only_a = ("coalesce(array_to_string(list_sort("
+              "list_filter(ta, t -> NOT list_contains(tb, t))), ' '), '')")
+    only_b = ("coalesce(array_to_string(list_sort("
+              "list_filter(tb, t -> NOT list_contains(ta, t))), ' '), '')")
     return (
         "WITH RECURSIVE p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "a.text AS text_a, b.text AS text_b FROM documents a JOIN documents b "

@@ -40,6 +40,10 @@ def adversarial_dir(spark, tmp_path_factory):
         (11, "alpha beta gamma delt", "en", "web", 21),
         (12, "alpha beta gamma delt", "en", "web", 21),
         (13, "alpha beta gamma", "en", "web", 16),
+        # shorter than the partial_ratio needle length AND shorter than its
+        # pair partners: forces the needle-from-shorter-side construction
+        # (kernel swap == oracle window range)
+        (14, "abc", "en", "web", 3),
         # power-of-two token-set union: 64 + 65 distinct tokens, 1 shared
         (20, " ".join(f"w{i}" for i in range(64)), "en", "web", 0),
         (21, " ".join(f"w{i}" for i in range(63, 128)), "en", "web", 0),
@@ -70,6 +74,12 @@ def adversarial_dir(spark, tmp_path_factory):
     "jaro_winkler_pairs", "lev_ratio_trunc", "char_ngram_jaccard",
     "quality_components", "bpe_token_counts", "lang_id_ngram",
     "exact_dup_groups",
+    # round-3 continuation queries: empty/whitespace texts, identical docs,
+    # sub-needle-length texts, 2^k unions all flow through these too
+    "token_sort_ratio", "token_set_ratio", "osa_distance_pairs",
+    "affine_gap_pairs", "partial_ratio_pairs", "prefix_jaccard_join",
+    "token_cosine_pairs", "repetition_ngram_stats", "phonetic_block_counts",
+    "sorted_neighborhood", "kmv_token_sketch", "sample_per_group",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]
