@@ -80,6 +80,8 @@ def adversarial_dir(spark, tmp_path_factory):
     "affine_gap_pairs", "partial_ratio_pairs", "prefix_jaccard_join",
     "token_cosine_pairs", "repetition_ngram_stats", "phonetic_block_counts",
     "sorted_neighborhood", "kmv_token_sketch", "sample_per_group",
+    "canonical_url_docs", "dataset_split_assign", "pii_redaction_stats",
+    "median_improve_chars", "seqratio_char_lists",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]
