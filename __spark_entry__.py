@@ -572,6 +572,17 @@ def q_pii_redaction_stats(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (12-token windows, 4-token overlap, stride
+    8): posexplode of token-array slices, no Python.  Oracle mirrors with
+    generate_series + list_slice; both engines clamp the final remainder
+    window identically."""
+    from levsim.extras.textstats import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=12, overlap=4)
+
+
 def q_sample_per_group(spark, sf_dir):
     """Deterministic pseudo-random sample: 2 docs per (lang, source) by
     smallest md5('levsim:'||doc_id) — exact bounded two-phase top-K (no
@@ -1361,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ngram_stats": q_repetition_ngram_stats,
         "canonical_url_docs": q_canonical_url_docs,
         "sample_per_group": q_sample_per_group,
+        "chunk_documents": q_chunk_documents,
         "kmv_token_sketch": q_kmv_token_sketch,
         "dataset_split_assign": q_dataset_split_assign,
         "pii_redaction_stats": q_pii_redaction_stats,
@@ -2083,6 +2095,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN path = '' THEN '/' ELSE path END || "
             "CASE WHEN length(params) > 0 THEN '?' || array_to_string(params, '&') "
             "ELSE '' END AS curl FROM f"
+        ),
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+            "c AS (SELECT doc_id, tk, length(tk) AS n, "
+            "1 + CAST(ceil(greatest(length(tk) - 12, 0) / 8.0) AS INT) AS nc "
+            "FROM toks WHERE length(tk) > 0) "
+            "SELECT doc_id, CAST(i AS INT) AS chunk_id, "
+            "array_to_string(list_slice(tk, i * 8 + 1, i * 8 + 12), ' ') AS chunk_text, "
+            "CAST(length(list_slice(tk, i * 8 + 1, i * 8 + 12)) AS BIGINT) AS n_tokens "
+            "FROM c CROSS JOIN unnest(generate_series(0, nc - 1)) AS u(i)"
         ),
         "sample_per_group": (
             "WITH h AS (SELECT lang, source, doc_id, "

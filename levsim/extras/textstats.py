@@ -232,3 +232,45 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking step of an LLM training/RAG pipeline, as pure
+    column expressions (posexplode of token-array slices; no Python).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the last chunk is
+    the remainder (>= 1 token, never empty); docs shorter than
+    ``chunk_tokens`` yield one chunk.  Deterministic: chunk_id is the
+    0-based window index.  Returns (id, chunk_id, chunk_text, n_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, n - chunk_tokens) / step)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(step)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * step + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col), n.alias("_n"), F.posexplode(chunks).alias("chunk_id", "ctoks")
+    ).where(F.col("_n") > 0)
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join("ctoks", " ").alias("chunk_text"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+    )

@@ -734,3 +734,34 @@ def test_sample_per_group_deterministic(spark):
     assert a == b and len(a) == 20
     c = {(r.g, r.id) for r in sample_per_group(df, ["g"], "id", 5, seed="other").collect()}
     assert c != a
+
+
+def test_chunk_documents(spark):
+    from levsim.extras.textstats import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(20)),  # 20 toks -> chunks at 0,8,16
+        1: "a b c",                                # shorter than window -> 1 chunk
+        2: "",                                     # no tokens -> no rows
+        3: " ".join(f"x{i}" for i in range(8)),    # exactly one stride -> 1 chunk
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=0)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    assert {k[0] for k in rows} == {0, 1, 3}
+    assert rows[(0, 0)][0].split() == [f"w{i}" for i in range(8)]
+    assert rows[(0, 1)][0].split() == [f"w{i}" for i in range(8, 16)]
+    assert rows[(0, 2)] == ("w16 w17 w18 w19", 4)  # remainder chunk
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert rows[(3, 0)][1] == 8 and (3, 1) not in rows
+    # overlap: stride = chunk - overlap
+    ov = chunk_documents(df.where(F.col("doc_id") == 0), "doc_id", "text",
+                         chunk_tokens=8, overlap=4)
+    chunks = [r.chunk_text.split() for r in ov.orderBy("chunk_id").collect()]
+    # last window starts at ceil((n-c)/s)*s = 12 and already reaches token
+    # 19, so coverage is complete with 4 windows (no redundant 5th)
+    assert [c[0] for c in chunks] == ["w0", "w4", "w8", "w12"]
+    assert chunks[-1][-1] == "w19"  # full coverage
+    assert all(len(c) == 8 for c in chunks)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
