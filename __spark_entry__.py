@@ -572,6 +572,18 @@ def q_pii_redaction_stats(spark, sf_dir):
     )
 
 
+def q_token_shards(spark, sf_dir):
+    """Token-budget sharding (quantized exclusive prefix sum, 2000-token
+    shards): the distributed running total uses range partition + local
+    window + driver offsets (levsim/extras/sampling.py global_running_sum
+    — NO single-task global window); the oracle is the textbook
+    unbounded-preceding window sum."""
+    from levsim.extras.sampling import assign_token_shards
+
+    d = _docs(spark, sf_dir)
+    return assign_token_shards(d, "doc_id", "text", shard_tokens=2000)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (12-token windows, 4-token overlap, stride
     8): posexplode of token-array slices, no Python.  Oracle mirrors with
@@ -1373,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_docs": q_canonical_url_docs,
         "sample_per_group": q_sample_per_group,
         "chunk_documents": q_chunk_documents,
+        "token_shards": q_token_shards,
         "kmv_token_sketch": q_kmv_token_sketch,
         "dataset_split_assign": q_dataset_split_assign,
         "pii_redaction_stats": q_pii_redaction_stats,
@@ -2095,6 +2108,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN path = '' THEN '/' ELSE path END || "
             "CASE WHEN length(params) > 0 THEN '?' || array_to_string(params, '&') "
             "ELSE '' END AS curl FROM f"
+        ),
+        "token_shards": (
+            "WITH c AS (SELECT doc_id, CAST(length(list_filter("
+            "string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS cum_before, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) "
+            "AS shard_id FROM c"
         ),
         "chunk_documents": (
             "WITH toks AS (SELECT doc_id, "

@@ -116,3 +116,71 @@ def kmv_distinct_sketch(
         .otherwise(F.lit(float(k - 1)) * F.lit(float(MD5_SPACE)) / kth.cast("double"))
         .alias("est_distinct"),
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    key_cols: List[str],
+    weight_col: str,
+    num_ranges: int = 0,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` over the total order given by
+    ``key_cols`` — without a single-task global window, in the same
+    two-phase shape as blocking.global_sort_ranks: range partition, local
+    running sums (window keyed by partition id), per-partition totals
+    folded into offsets on the driver (num_ranges rows).  Adds
+    ``cum_before``."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n, *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(weight_col).alias("s")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(sums):
+        offs.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    odf = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn("_lc", F.coalesce(F.sum(weight_col).over(w), F.lit(0)))
+        .join(F.broadcast(odf), "_pid")
+        .withColumn("cum_before", (F.col("_lc") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lc", "_off")
+    )
+
+
+def assign_token_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int,
+) -> DataFrame:
+    """Token-budget sharding for training-data exports: documents in id
+    order are packed into shards of ~``shard_tokens`` tokens with
+    shard_id = exclusive-running-token-count div shard_tokens — the
+    quantized-prefix-sum packing rule: deterministic, order-preserving,
+    one pass, no bin-packing heuristics (a doc may straddle a budget
+    boundary; it belongs to the shard its FIRST token falls in).  Returns
+    (id, n_tokens, cum_before, shard_id), all exact integers."""
+    if shard_tokens < 1:
+        raise ValueError("shard_tokens must be >= 1")
+    counted = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    out = global_running_sum(counted, ["doc_id"], "n_tokens")
+    return out.withColumn("shard_id", F.expr(f"cum_before div {shard_tokens}"))

@@ -765,3 +765,38 @@ def test_chunk_documents(spark):
     assert all(len(c) == 8 for c in chunks)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_global_running_sum_matches_naive(spark):
+    import random
+
+    from levsim.extras.sampling import global_running_sum
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(0, 50)) for i in range(211)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(9)
+    got = {r.doc_id: r.cum_before for r in global_running_sum(df, ["doc_id"], "w", num_ranges=7).collect()}
+    acc, want = 0, {}
+    for i, w in sorted(rows):
+        want[i] = acc
+        acc += w
+    assert got == want
+
+
+def test_assign_token_shards(spark):
+    from levsim.extras.sampling import assign_token_shards
+
+    texts = [(i, " ".join(["t"] * (5 + i % 3))) for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = sorted(assign_token_shards(df, "doc_id", "text", shard_tokens=20).collect(),
+                 key=lambda r: r.doc_id)
+    acc = 0
+    for r in out:
+        assert r.cum_before == acc and r.shard_id == acc // 20
+        acc += r.n_tokens
+    # shard ids are nondecreasing in doc order and contiguous from 0
+    sids = [r.shard_id for r in out]
+    assert sids == sorted(sids) and sids[0] == 0
+    assert set(sids) == set(range(max(sids) + 1))
+    with pytest.raises(ValueError):
+        assign_token_shards(df, "doc_id", "text", shard_tokens=0)
