@@ -584,6 +584,17 @@ def q_token_shards(spark, sf_dir):
     return assign_token_shards(d, "doc_id", "text", shard_tokens=2000)
 
 
+def q_shard_manifests(spark, sf_dir):
+    """Per-shard export manifests (docs, token totals, id range, bit_xor
+    md5 checksum — order-independent and overflow-free): the
+    reproducibility record of a training-data export, exactly
+    recomputable in SQL."""
+    from levsim.extras.sampling import shard_manifests
+
+    d = _docs(spark, sf_dir)
+    return shard_manifests(d, "doc_id", "text", shard_tokens=2000)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (12-token windows, 4-token overlap, stride
     8): posexplode of token-array slices, no Python.  Oracle mirrors with
@@ -1386,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "chunk_documents": q_chunk_documents,
         "token_shards": q_token_shards,
+        "shard_manifests": q_shard_manifests,
         "kmv_token_sketch": q_kmv_token_sketch,
         "dataset_split_assign": q_dataset_split_assign,
         "pii_redaction_stats": q_pii_redaction_stats,
@@ -2108,6 +2120,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN path = '' THEN '/' ELSE path END || "
             "CASE WHEN length(params) > 0 THEN '?' || array_to_string(params, '&') "
             "ELSE '' END AS curl FROM f"
+        ),
+        "shard_manifests": (
+            "WITH c AS (SELECT doc_id, text, CAST(length(list_filter("
+            "string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "s AS (SELECT doc_id, text, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) "
+            "AS shard_id FROM c), "
+            "h AS (SELECT shard_id, doc_id, n_tokens, "
+            + _MD5_HASH15.format(t="CAST(doc_id AS VARCHAR) || ':' || text")
+            + " AS hh FROM s) "
+            "SELECT shard_id, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "min(doc_id) AS first_id, max(doc_id) AS last_id, "
+            "CAST(bit_xor(hh) AS BIGINT) AS checksum FROM h GROUP BY shard_id"
         ),
         "token_shards": (
             "WITH c AS (SELECT doc_id, CAST(length(list_filter("

@@ -184,3 +184,29 @@ def assign_token_shards(
     )
     out = global_running_sum(counted, ["doc_id"], "n_tokens")
     return out.withColumn("shard_id", F.expr(f"cum_before div {shard_tokens}"))
+
+
+def shard_manifests(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int,
+) -> DataFrame:
+    """Per-shard export manifest over :func:`assign_token_shards`:
+    (shard_id, n_docs, total_tokens, first_id, last_id, checksum) — the
+    reproducibility record a training-data export ships with.  The
+    checksum is bit_xor of md5(id:text) over members: order-independent,
+    overflow-free, and exactly recomputable in SQL, so a manifest diff
+    pinpoints changed shards without reading payloads."""
+    shards = assign_token_shards(df, id_col, text_col, shard_tokens)
+    texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    joined = shards.join(texts, "doc_id").withColumn(
+        "_h", md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("_t")))
+    )
+    return joined.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+        F.expr("bit_xor(_h)").alias("checksum"),
+    )

@@ -82,7 +82,7 @@ def adversarial_dir(spark, tmp_path_factory):
     "sorted_neighborhood", "kmv_token_sketch", "sample_per_group",
     "canonical_url_docs", "dataset_split_assign", "pii_redaction_stats",
     "median_improve_chars", "seqratio_char_lists",
-    "chunk_documents", "token_shards",
+    "chunk_documents", "token_shards", "shard_manifests",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]

@@ -800,3 +800,28 @@ def test_assign_token_shards(spark):
     assert set(sids) == set(range(max(sids) + 1))
     with pytest.raises(ValueError):
         assign_token_shards(df, "doc_id", "text", shard_tokens=0)
+
+
+def test_shard_manifests(spark):
+    from levsim.extras.sampling import shard_manifests
+
+    texts = [(i, " ".join(["t"] * 7)) for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    man = sorted(shard_manifests(df, "doc_id", "text", shard_tokens=21).collect(),
+                 key=lambda r: r.shard_id)
+    # 7 tokens/doc, 21/shard -> exactly 3 docs per shard, 10 shards
+    assert len(man) == 10
+    for i, r in enumerate(man):
+        assert (r.n_docs, r.total_tokens) == (3, 21)
+        assert (r.first_id, r.last_id) == (3 * i, 3 * i + 2)
+    # checksum: order-independent, content-sensitive
+    again = {r.shard_id: r.checksum
+             for r in shard_manifests(df.repartition(7), "doc_id", "text", 21).collect()}
+    assert again == {r.shard_id: r.checksum for r in man}
+    changed = df.withColumn(
+        "text", F.when(F.col("doc_id") == 4, F.lit("t t t t t t x")).otherwise(F.col("text"))
+    )
+    diff = {r.shard_id: r.checksum
+            for r in shard_manifests(changed, "doc_id", "text", 21).collect()}
+    base = {r.shard_id: r.checksum for r in man}
+    assert {s for s in base if diff[s] != base[s]} == {1}  # only doc 4's shard
