@@ -251,10 +251,51 @@ def batch_affine_gap(a, b, gap_open: int = 2, gap_extend: int = 1, sub_cost: int
 
 
 def batch_partial_ratio(a, b, score_cutoff: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
-    """Best-window indel similarity per pair -> (float64 values, null mask)."""
+    """Best-window indel similarity per pair -> (float64 values, null mask).
+
+    Vectorized via window expansion: every (needle, window) slice across
+    all pairs goes through ONE bit-parallel C ``batch_indel`` call, then a
+    segmented min (``np.minimum.reduceat``) recovers the per-pair best.
+    Falls back to the scalar kernel when the C library is absent.  Same
+    float expression as ``kernels.partial_ratio`` (1.0 - dmin/(2*la)), so
+    results are bit-identical either way (asserted in test_batch)."""
     n = len(a)
     out = np.empty(n, dtype=np.float64)
     nulls = np.zeros(n, dtype=bool)
+    if cbuild.load() is not None and n > 0:
+        needles, windows, la_arr, starts = [], [], np.empty(n, dtype=np.int64), []
+        pos = 0
+        for i in range(n):
+            x, y = a[i], b[i]
+            starts.append(pos)
+            if x is None or y is None:
+                nulls[i] = True
+                la_arr[i] = 0
+                continue
+            nd, hay = (x, y) if len(x) <= len(y) else (y, x)
+            la_arr[i] = len(nd)
+            if len(nd) == 0:
+                continue  # empty needle -> 1.0, no windows needed
+            for off in range(len(hay) - len(nd) + 1):
+                needles.append(nd)
+                windows.append(hay[off:off + len(nd)])
+            pos = len(needles)
+        starts.append(len(needles))
+        if needles:
+            dists, _ = batch_indel(needles, windows)
+        else:
+            dists = np.empty(0, dtype=np.int64)
+        for i in range(n):
+            if nulls[i]:
+                out[i] = 0.0
+            elif la_arr[i] == 0:
+                out[i] = 1.0
+            else:
+                dmin = int(dists[starts[i]:starts[i + 1]].min())
+                out[i] = 1.0 - dmin / (2 * int(la_arr[i]))
+            if score_cutoff is not None and not nulls[i] and out[i] < score_cutoff:
+                out[i] = 0.0
+        return out, nulls
     for i in range(n):
         if a[i] is None or b[i] is None:
             nulls[i] = True

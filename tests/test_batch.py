@@ -170,3 +170,23 @@ def test_batch_affine_fallback_identical(monkeypatch):
     got, _ = batch.batch_affine_gap(A[:50], B[:50], score_cutoff=9)
     exp = [K.affine_gap_distance(x, y, score_cutoff=9) for x, y in PAIRS[:50]]
     np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("cutoff", [None, 0.6])
+def test_batch_partial_ratio_matches_scalar(cutoff):
+    """Window-expanded C path == scalar kernel bit-for-bit (incl. swaps,
+    empties and the below-cutoff -> 0.0 rule)."""
+    pairs = PAIRS[:120] + [("abc", "xxabcxx"), ("xxabcxx", "abc"), ("", "xy")]
+    got, nulls = batch.batch_partial_ratio(
+        [p[0] for p in pairs], [p[1] for p in pairs], score_cutoff=cutoff)
+    for i, (x, y) in enumerate(pairs):
+        assert not nulls[i]
+        assert got[i] == K.partial_ratio(x, y, score_cutoff=cutoff)
+
+
+def test_batch_partial_ratio_fallback(monkeypatch):
+    monkeypatch.setattr(cbuild, "_lib", None)
+    monkeypatch.setattr(cbuild, "_tried", True)
+    got, _ = batch.batch_partial_ratio(A[:40], B[:40])
+    exp = [K.partial_ratio(x, y) for x, y in PAIRS[:40]]
+    np.testing.assert_array_equal(got, exp)
