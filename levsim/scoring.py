@@ -68,7 +68,10 @@ def score_pairs(
         df = df.repartition(repartition, "id_a")
     if sort_for_cache:
         df = df.sortWithinPartitions("id_a")
-    known = tuple(s for s in scorers if s in ("ratio", "jaro_winkler", "jaro", "distance"))
+    known = tuple(s for s in scorers if s in (
+        "ratio", "jaro_winkler", "jaro", "distance",
+        "osa", "affine_gap", "partial_ratio",
+    ))
     if known:
         # one Arrow crossing for all scores (struct-returning UDF)
         scored = udfs.multi_score_udf(known, ratio_cutoff=tau)("text_a", "text_b")
@@ -104,7 +107,9 @@ def score_pairs_cascade(
     df = df.sortWithinPartitions("id_a")
     df = df.withColumn("ratio", udfs.lev_ratio_udf(score_cutoff=tau)("text_a", "text_b"))
     df = df.where(F.col("ratio") >= F.lit(tau))
-    sec = tuple(s for s in secondary if s in ("jaro_winkler", "jaro", "distance"))
+    sec = tuple(s for s in secondary if s in (
+        "jaro_winkler", "jaro", "distance", "osa", "affine_gap", "partial_ratio",
+    ))
     if sec:
         scored = udfs.multi_score_udf(sec)("text_a", "text_b")
         df = df.withColumn("_scores", scored)

@@ -106,3 +106,22 @@ def test_multi_score_new_scorers(spark):
         assert s.osa == K.osa_distance(a, b)
         assert s.affine_gap == K.affine_gap_distance(a, b)
         assert s.partial_ratio == K.partial_ratio(a, b)
+
+
+def test_score_pairs_accepts_new_scorers(spark):
+    """score_pairs / cascade surface the continuation scorers as columns
+    (previously silently dropped by the allowlist)."""
+    from levsim import kernels as K
+    from levsim.scoring import score_pairs, score_pairs_cascade
+
+    df = spark.createDataFrame(
+        [(1, 2, "lewenstein", "levenshtein", 10, 11)],
+        "id_a long, id_b long, text_a string, text_b string, len_a int, len_b int",
+    )
+    out = score_pairs(df, scorers=("ratio", "osa", "affine_gap", "partial_ratio")).collect()[0]
+    assert out.osa == K.osa_distance("lewenstein", "levenshtein")
+    assert out.affine_gap == K.affine_gap_distance("lewenstein", "levenshtein")
+    assert out.partial_ratio == K.partial_ratio("lewenstein", "levenshtein")
+    casc = score_pairs_cascade(df, tau=0.5, secondary=("jaro_winkler", "osa")).collect()[0]
+    assert casc.osa == K.osa_distance("lewenstein", "levenshtein")
+    assert casc.ratio >= 0.5
