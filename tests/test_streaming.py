@@ -150,3 +150,46 @@ def test_streaming_sessions_event_time_timeout(spark, tmp_path):
     assert got2 == got1 | {(99, B + 200000, B + 200000, 1),
                            (98, B + 300000, B + 300000, 1)}  # f5's no-data
     # batch fires 98's timeout too; only user97 stays open in state
+
+
+def test_streaming_textstats_and_pii(spark, tmp_path):
+    """The stateless curation extras (textstats projection, PII redaction,
+    repetition counts) compose directly with Structured Streaming —
+    stream output == batch output on the same files."""
+    from levsim.extras.textstats import ngram_repetition_counts, with_textstats
+    from levsim.extras.webprep import pii_counts, redact_pii
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [
+        (1, "the quick brown fox mail a@b.co"),
+        (2, "x y x y x y"),
+        (3, ""),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(str(in_dir))
+
+    def curate(df):
+        out = with_textstats(df, "text")
+        out = out.withColumn("rep", ngram_repetition_counts(F.col("text"), 2))
+        return out.withColumn("redacted", redact_pii(F.col("text"))) \
+                  .withColumn("pii", pii_counts(F.col("text")))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(str(in_dir))
+    )
+    q = (
+        curate(stream).writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {r.doc_id: r for r in curate(
+        spark.read.parquet(str(in_dir))).collect()}
+    assert set(got) == {1, 2, 3}
+    for i in got:
+        assert got[i].asDict() == want[i].asDict(), i
+    assert got[1].pii.n_emails == 1 and "<EMAIL>" in got[1].redacted
+    assert got[2].rep.top_count == 3  # 'x y' bigram repeats
