@@ -55,6 +55,21 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
 
 
+def _pairs_trunc(spark: SparkSession, sf_dir: str, n: int = 150) -> DataFrame:
+    """`_pairs` with texts truncated to ``n`` chars — for the editops
+    ALGEBRA invariant queries (roundtrip/inverse/subtract/matching_blocks),
+    whose oracles count pairs (length-invariant) while the Spark side runs
+    pure-Python O(L^2) editops DPs per pair: full ~600-char texts cost
+    8-16s per query at sf0.01 (44s of the 173s gate), 150-char prefixes
+    exercise every op-type/branch at ~1/16th the cost.  Value-checking of
+    editops on FULL texts stays in editops_count_pairs."""
+    return _pairs(spark, sf_dir).select(
+        "lang", "source", "id_a", "id_b",
+        F.substring("text_a", 1, n).alias("text_a"),
+        F.substring("text_b", 1, n).alias("text_b"),
+    )
+
+
 _P_CTE = (
     "WITH p AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b, "
     "a.text AS text_a, b.text AS text_b FROM documents a JOIN documents b "
@@ -196,7 +211,7 @@ def q_editops_roundtrip(spark, sf_dir):
             out.append(kernels.apply_edit(kernels.editops(x, y), x, y) == y)
         return pd.Series(out)
 
-    p = _pairs(spark, sf_dir).withColumn("ok", roundtrip_ok("text_a", "text_b"))
+    p = _pairs_trunc(spark, sf_dir).withColumn("ok", roundtrip_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_roundtrip_ok"),
@@ -234,7 +249,7 @@ def q_matching_blocks_check(spark, sf_dir):
             out.append(ok)
         return pd.Series(out)
 
-    p = _pairs(spark, sf_dir).withColumn("ok", blocks_ok("text_a", "text_b"))
+    p = _pairs_trunc(spark, sf_dir).withColumn("ok", blocks_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_blocks_ok"),
@@ -262,7 +277,7 @@ def q_editops_inverse(spark, sf_dir):
             out.append(ok)
         return pd.Series(out)
 
-    p = _pairs(spark, sf_dir).withColumn("ok", inverse_ok("text_a", "text_b"))
+    p = _pairs_trunc(spark, sf_dir).withColumn("ok", inverse_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_inverse_ok"),
@@ -292,7 +307,7 @@ def q_editops_subtract(spark, sf_dir):
             out.append(ok)
         return pd.Series(out)
 
-    p = _pairs(spark, sf_dir).withColumn("ok", subtract_ok("text_a", "text_b"))
+    p = _pairs_trunc(spark, sf_dir).withColumn("ok", subtract_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_subtract_ok"),
@@ -680,7 +695,9 @@ def q_bpe_token_counts(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).cast("long").alias("ws_tokens"),
         F.size(bt).cast("long").alias("bpe_tokens"),
-        F.slice(bt, 1, 3).alias("first_pretokens"),
+        # joined to a scalar string: the driver's pandas canonicalizer
+        # cannot hash ARRAY cells (r3 `unhashable type: 'list'` err)
+        F.array_join(F.slice(bt, 1, 3), "\x01").alias("first_pretokens"),
     )
 
 
@@ -864,7 +881,11 @@ def q_exact_dup_groups(spark, sf_dir):
         "doc_id", F.substring("text", 1, 40).alias("text")
     )
     g = exact_duplicates(d, "doc_id", "text", max_dup_ids=5)
-    return g.select("keep_id", "n_dups", "dup_ids")
+    # joined to a scalar string: the driver's pandas canonicalizer cannot
+    # hash ARRAY cells (same class as r3's bpe_token_counts err)
+    return g.select(
+        "keep_id", "n_dups", F.array_join("dup_ids", ",").alias("dup_ids")
+    )
 
 
 def q_minhash_dedup_pairs(spark, sf_dir):  # hard oracle: SQL band-key replica
@@ -1651,8 +1672,11 @@ def _indel_cte_sql(trunc_len: int, out_alias: str, translate: str | None = None,
 
 
 _MD5_HASH15 = (
-    "list_sum(list_transform(generate_series(1,15), i -> "
-    "(strpos('0123456789abcdef', substr(md5({t}), i, 1)) - 1)::BIGINT << (4*(15-i))))"
+    # DuckDB's list_sum over BIGINT widens to HUGEINT, which the driver's
+    # pandas canonicalizer surfaces as float64 (lossy at ~2^60) — cast the
+    # whole sum back down; the value is < 16^15 = 2^60 so BIGINT is lossless.
+    "CAST(list_sum(list_transform(generate_series(1,15), i -> "
+    "(strpos('0123456789abcdef', substr(md5({t}), i, 1)) - 1)::BIGINT << (4*(15-i)))) AS BIGINT)"
 )
 
 
@@ -2247,7 +2271,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens, "
             "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens, "
-            "(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))[1:3] AS first_pretokens "
+            "array_to_string((regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))[1:3], chr(1)) AS first_pretokens "
             "FROM documents WHERE length(text) > 0"
         ),
         "quality_components": (
@@ -2379,7 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         # SQL (round-3: these two leave the rows-only list)
         "exact_dup_groups": (
             "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups, "
-            "(array_agg(doc_id ORDER BY doc_id))[1:5] AS dup_ids "
+            "array_to_string((array_agg(doc_id ORDER BY doc_id))[1:5], ',') AS dup_ids "
             "FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents) "
             "GROUP BY t HAVING count(*) > 1"
         ),

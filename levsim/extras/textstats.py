@@ -121,12 +121,28 @@ def ngram_repetition_counts(col, n: int = 2) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     total = F.size(grams)
+    # top gram count as a run-length scan over the SORTED gram array —
+    # O(n log n) instead of the O(n_distinct * n) filter-per-distinct-gram
+    # scan (measured 22s -> ~1s over 500 sf0.01 docs; interpreted HOFs make
+    # the quadratic form bite).  Grams are never '' (tokens are non-empty),
+    # so the empty-string initial state can't collide with a real gram.
+    sorted_g = F.array_sort(grams)
     top = F.when(
         total > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
-            )
+        F.aggregate(
+            sorted_g,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         ),
     ).otherwise(F.lit(0))
     return F.struct(

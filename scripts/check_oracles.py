@@ -1,8 +1,14 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.01 (or a given dir), compare
-row count, column names, and order-insensitive values.
+row count, column names, order-insensitive values, AND pandas dtype parity
+(the driver canonicalizes both frames through pandas before hashing, so an
+oracle column surfacing as float64 against Spark's int64 hash-mismatches
+even when the values are numerically identical — this bit three rounds of
+oracles before the lint below).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Env:   LEVSIM_ORACLE_PROFILE=1  -> print per-query spark/duck seconds and a
+                                   slowest-first summary at the end.
 """
 
 from __future__ import annotations
@@ -10,6 +16,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,9 +44,64 @@ def df_signature(cols, rows):
     return lines
 
 
+def dtype_kind(v):
+    """Coarse dtype class as the driver's pandas canonicalizer sees it.
+
+    bool is its own class (pandas sorts/hashes it distinctly); int and
+    float MUST NOT mix (the r2/r3 HUGEINT->float64 bug class); anything
+    unhashable (list/dict/ndarray) breaks pandas sort_values outright.
+    """
+    import datetime
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, (str, bytes, bytearray)):
+        return "str"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return "datetime"
+    if isinstance(v, (list, dict, set, tuple)) or type(v).__name__ == "ndarray":
+        return "UNHASHABLE"
+    return type(v).__name__
+
+
+def dtype_lint(name, scols, srows, ocols, orows):
+    """Return list of problem strings: cross-engine dtype-class mismatches
+    and unhashable (array/struct) cells on either side."""
+    problems = []
+
+    def col_kinds(cols, rows):
+        kinds = {}
+        for c_i, c in enumerate(cols):
+            k = None
+            for r in rows:
+                k = dtype_kind(r[c_i])
+                if k is not None:
+                    break
+            kinds[c] = k
+        return kinds
+
+    sk, ok_ = col_kinds(scols, srows), col_kinds(ocols, orows)
+    for c in sorted(set(sk) & set(ok_)):
+        a, b = sk[c], ok_[c]
+        if a == "UNHASHABLE" or b == "UNHASHABLE":
+            problems.append(f"col {c!r}: UNHASHABLE cell (spark={a}, duck={b}) — pandas sort_values will crash")
+        elif a is not None and b is not None and a != b:
+            problems.append(f"col {c!r}: dtype-class mismatch spark={a} duck={b} — driver hash WILL differ")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    profile = os.environ.get("LEVSIM_ORACLE_PROFILE", "") not in ("", "0")
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -49,15 +111,25 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    timings = []
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"{name:24s} rows-only: {len(srows)} rows, cols {scols}")
+            lint = dtype_lint(name, scols, srows, scols, srows)
+            tag = " LINT:" + "; ".join(lint) if lint else ""
+            print(f"{name:24s} rows-only: {len(srows)} rows, cols {scols}{tag}")
+            timings.append((name, t_spark, 0.0))
+            if lint:
+                failures.append(name)
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -65,7 +137,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:24s} ORACLE SQL ERROR: {e}")
             failures.append(name)
+            timings.append((name, t_spark, time.time() - t1))
             continue
+        t_duck = time.time() - t1
+        timings.append((name, t_spark, t_duck))
         ok = True
         if sorted(scols) != sorted(ocols):
             print(f"{name:24s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}")
@@ -74,6 +149,10 @@ def main():
             print(f"{name:24s} COUNT MISMATCH spark={len(srows)} duck={len(orows)}")
             ok = False
         else:
+            lint = dtype_lint(name, scols, srows, ocols, orows)
+            if lint:
+                print(f"{name:24s} DTYPE LINT FAIL: " + "; ".join(lint))
+                ok = False
             ssig = df_signature(scols, srows)
             osig = df_signature(ocols, orows)
             if ssig != osig:
@@ -83,9 +162,16 @@ def main():
                     print(f"   spark: {a}\n   duck : {b}")
                 ok = False
         if ok:
-            print(f"{name:24s} OK ({len(srows)} rows)")
+            extra = f" [spark {t_spark:.2f}s duck {t_duck:.2f}s]" if profile else ""
+            print(f"{name:24s} OK ({len(srows)} rows){extra}")
         else:
             failures.append(name)
+    wall = time.time() - t_start
+    if profile:
+        print("\n-- slowest queries (spark_s, duck_s, total_s) --")
+        for name, ts, td in sorted(timings, key=lambda x: -(x[1] + x[2]))[:15]:
+            print(f"  {name:28s} {ts:7.2f} {td:7.2f} {ts + td:7.2f}")
+        print(f"  TOTAL wall {wall:.1f}s over {len(timings)} queries")
     print("\nRESULT:", "ALL OK" if not failures else f"FAILURES: {failures}")
     spark.stop()
     return 1 if failures else 0
