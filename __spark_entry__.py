@@ -2271,7 +2271,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens, "
             "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens, "
-            "array_to_string((regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))[1:3], chr(1)) AS first_pretokens "
+            # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+            # array_join of an empty array is '' — align on ''
+            "COALESCE(array_to_string((regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))[1:3], chr(1)), '') AS first_pretokens "
             "FROM documents WHERE length(text) > 0"
         ),
         "quality_components": (
