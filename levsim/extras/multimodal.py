@@ -343,17 +343,23 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """FEATURE_DIM feature vector for an encoded image payload.
 
-    Real path: 24-bit BMP payloads are decoded with the pure-NumPy codec
-    above and featurized from actual pixels.  Other formats (png/jpeg/...)
-    need image libs absent from this container: pass ``fake=True`` for the
-    deterministic content-derived test double, else NotImplementedError."""
+    Real paths: 24-bit BMP payloads via the pure-NumPy codec above, and
+    baseline JPEG payloads via the pure-NumPy T.81 decoder in
+    :mod:`levsim.extras.jpeg` — both featurized from actual pixels.  Other
+    formats (png/webp/...) need image libs absent from this container:
+    pass ``fake=True`` for the deterministic content-derived test double,
+    else NotImplementedError."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         return image_features(decode_bmp(payload))
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "non-BMP image decoding requires an image library not present in "
-        "this environment; pass fake=True for the deterministic test double"
+        "non-BMP/JPEG image decoding requires an image library not present "
+        "in this environment; pass fake=True for the deterministic test double"
     )
 
 

@@ -15,11 +15,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_jar_path() -> str | None:
+    """Probe for an Iceberg Spark runtime jar: $LEVSIM_ICEBERG_JAR first,
+    then the pyspark distribution's jars directory.  Returns None when the
+    environment ships no jar (this sandbox does — SURVEY.md §1), so callers
+    can skip-not-silently."""
+    p = os.environ.get("LEVSIM_ICEBERG_JAR")
+    if p and os.path.exists(p):
+        return p
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    try:
+        for j in sorted(os.listdir(jars)):
+            if j.startswith("iceberg-spark-runtime") and j.endswith(".jar"):
+                return os.path.join(jars, j)
+    except OSError:
+        pass
+    return None
+
+
+ICEBERG_CATALOG = "levsim_ice"
+
+
 def get_spark(
     app_name: str = "levsim",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_size: int = 10_000,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("LEVSIM_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
     if shuffle_partitions is None:
@@ -37,4 +61,30 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if iceberg_warehouse is not None:
+        # the real-catalog seam (BASELINE.json input_hint says Iceberg
+        # tables): configured only when a runtime jar is actually present —
+        # SnapshotTable's Parquet emulation stays the fallback
+        jar = iceberg_jar_path()
+        if jar is None:
+            raise RuntimeError(
+                "iceberg_warehouse requested but no iceberg-spark-runtime "
+                "jar found (set LEVSIM_ICEBERG_JAR or install into the "
+                "pyspark jars dir)"
+            )
+        b = (
+            b.config("spark.jars", jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(
+                f"spark.sql.catalog.{ICEBERG_CATALOG}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
+            .config(
+                f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse", iceberg_warehouse
+            )
+        )
     return b.getOrCreate()
