@@ -533,11 +533,15 @@ def _brute_jaccard_pairs(texts, threshold, shingle_k):
     return out
 
 
+@pytest.mark.parametrize("dense_cap", [4096, 0])
 @pytest.mark.parametrize("threshold,shingle_k", [(0.5, 2), (0.34, 2), (0.7, 1)])
-def test_prefix_jaccard_join_is_lossless(spark, threshold, shingle_k):
+def test_prefix_jaccard_join_is_lossless(spark, threshold, shingle_k, dense_cap):
     """Prefix-filtered self-join == brute force: the filter loses no pair
     and admits no false positive, at dyadic and non-dyadic thresholds and
-    both shingle sizes (k=1 exercises the <k-token fallback)."""
+    both shingle sizes (k=1 exercises the <k-token fallback).  Runs BOTH
+    execution paths: this corpus's tiny vocabulary triggers the round-4
+    dense-bitset plan by default (dense_cap=4096); dense_cap=0 forces the
+    sparse PPJoin plan — identical output sets required from each."""
     import random
 
     rng = random.Random(13)
@@ -554,11 +558,36 @@ def test_prefix_jaccard_join_is_lossless(spark, threshold, shingle_k):
     got = {
         (r.id_a, r.id_b, r.inter, r.uni)
         for r in dedup.prefix_filtered_jaccard_pairs(
-            df, "doc_id", "text", threshold=threshold, shingle_k=shingle_k
+            df, "doc_id", "text", threshold=threshold, shingle_k=shingle_k,
+            dense_vocab_cap=dense_cap,
         ).collect()
     }
     want = _brute_jaccard_pairs(texts, threshold, shingle_k)
     assert got == want
+
+
+def test_prefix_jaccard_dense_switch_and_jacc_parity(spark):
+    """The adaptive probe picks the dense plan exactly when vocab and doc
+    count fit the caps, and the dense path's full rows (including the
+    float jacc) are bit-identical to the sparse path's."""
+    import random
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10)))
+             for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    dense = dedup.prefix_filtered_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    sparse = dedup.prefix_filtered_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, dense_vocab_cap=0)
+    # dense plan has a mapInPandas stage; the sparse plan has none
+    assert "MapInPandas" in dense._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in sparse._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, dense.collect())) == sorted(map(tuple, sparse.collect()))
+    # a docs-cap of 1 must route even a tiny-vocab corpus to the sparse plan
+    routed = dedup.prefix_filtered_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, dense_docs_cap=1)
+    assert "MapInPandas" not in routed._jdf.queryExecution().executedPlan().toString()
 
 
 def test_prefix_jaccard_join_threshold_validation(spark):
