@@ -478,7 +478,6 @@ def _dense_bitset_jaccard_pairs(
     n_words = (len(vocab) + 63) // 64
     tok2idx = {t: i for i, t in enumerate(vocab)}
     bc = spark.sparkContext.broadcast(tok2idx)
-    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
     @pandas_udf("binary")
     def pack_bits(sh: pd.Series) -> pd.Series:
@@ -531,6 +530,16 @@ def _dense_bitset_jaccard_pairs(
 
     def compare_blocks(batches):
         nbytes = n_words * 8
+
+        def bitmat(blob: bytes, n: int) -> np.ndarray:
+            # packed rows -> float32 0/1 matrix (n, vocab_bits); bit order
+            # (MSB-first per byte from unpackbits) is irrelevant as long as
+            # both sides unpack identically — dot products are permutation-
+            # invariant.  float32 holds intersection counts exactly up to
+            # 2^24 >> the 4096-bit cap.
+            u8 = np.frombuffer(blob, dtype=np.uint8).reshape(n, nbytes)
+            return np.unpackbits(u8, axis=1).astype(np.float32)
+
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
@@ -538,38 +547,35 @@ def _dense_bitset_jaccard_pairs(
                 ids_b = np.asarray(row.ids_y, dtype=np.int64)
                 na = np.asarray(row.ns_x, dtype=np.int64)
                 nb = np.asarray(row.ns_y, dtype=np.int64)
-                A = np.frombuffer(row.blob_x, dtype=np.uint8).reshape(len(ids_a), nbytes)
-                B = np.frombuffer(row.blob_y, dtype=np.uint8).reshape(len(ids_b), nbytes)
-                same = row.bx == row.by
-                # chunk rows of A so the (chunk, |B|, nbytes) AND temporary
-                # stays ~tens of MB regardless of block size
-                chunk = max(1, (48 << 20) // max(1, len(ids_b) * nbytes))
-                for s in range(0, len(ids_a), chunk):
-                    e = min(s + chunk, len(ids_a))
-                    inter = lut[A[s:e, None, :] & B[None, :, :]].sum(
-                        axis=2, dtype=np.int64
+                # intersection sizes via ONE sgemm: 4-6x the byte-LUT /
+                # SWAR popcount forms at block_size=1024 (BLAS blocking +
+                # FMA; the broadcast-AND forms allocate (na, nb, words)
+                # temporaries that are pure memory traffic)
+                inter = (
+                    bitmat(row.blob_x, len(ids_a))
+                    @ bitmat(row.blob_y, len(ids_b)).T
+                ).astype(np.int64)
+                uni = na[:, None] + nb[None, :] - inter
+                ok = inter * td >= uni * tn
+                if row.bx == row.by:
+                    # i != j, and emit each unordered pair once
+                    ok &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(ok)
+                if len(ii) == 0:
+                    continue
+                ia, ib = ids_a[ii], ids_b[jj]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": lo,
+                            "id_b": hi,
+                            "inter": inter[ii, jj].astype(np.int32),
+                            "uni": uni[ii, jj].astype(np.int32),
+                        }
                     )
-                    uni = na[s:e, None] + nb[None, :] - inter
-                    ok = inter * td >= uni * tn
-                    if same:
-                        # i != j, and emit each unordered pair once
-                        ok &= ids_a[s:e, None] < ids_b[None, :]
-                    ii, jj = np.nonzero(ok)
-                    if len(ii) == 0:
-                        continue
-                    ia, ib = ids_a[s + ii], ids_b[jj]
-                    lo = np.minimum(ia, ib)
-                    hi = np.maximum(ia, ib)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": lo,
-                                "id_b": hi,
-                                "inter": inter[ii, jj].astype(np.int32),
-                                "uni": uni[ii, jj].astype(np.int32),
-                            }
-                        )
-                    )
+                )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -585,7 +591,7 @@ def prefix_filtered_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 2,
     dense_vocab_cap: int = 4096,
-    dense_docs_cap: int = 20000,
+    dense_docs_cap: int = 50000,
 ) -> DataFrame:
     """All-pairs word-shingle-Jaccard >= ``threshold`` WITHOUT blocking keys
     and WITHOUT an all-pairs join — PPJoin-style prefix filtering

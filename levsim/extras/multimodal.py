@@ -5,10 +5,11 @@ The Spark-side contract is real and tested — schemas, Arrow batch shapes,
 partition-preserving transforms — and so are the uncompressed codecs: pure
 NumPy BMP (24-bit), PCM WAV (16-bit RIFF) and AVI (RIFF + DIB frames)
 encode/decode with pixel/sample-exact roundtrips, feeding real
-pixel/sample/frame-derived features.  Only COMPRESSED formats (jpeg/png,
-mp3, h264/vp9) stay stubbed — this container ships no codec libs —
-raising NotImplementedError unless ``fake=True`` selects the
-deterministic content-derived test double.
+pixel/sample/frame-derived features.  Baseline JPEG is also REAL (round
+4): the pure-NumPy T.81 codec in :mod:`levsim.extras.jpeg`.  The
+remaining compressed formats (png/webp, mp3, h264/vp9) stay stubbed —
+this container ships no codec libs — raising NotImplementedError unless
+``fake=True`` selects the deterministic content-derived test double.
 """
 
 from __future__ import annotations
@@ -462,6 +463,8 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic media table for tests: REAL payloads for all three
     kinds (BMP images, PCM WAV audio, uncompressed AVI video — every codec
     decodes for real, no fake flag anywhere)."""
+    from .jpeg import encode_jpeg
+
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -469,8 +472,15 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             px = rng.randint(0, 256, size=(8 + i % 5, 6 + i % 7, 3), dtype=np.uint8)
-            payload = encode_bmp(px)
-            mime, w, h, dur = "image/bmp", px.shape[1], px.shape[0], None
+            if i % 6 == 0:
+                # every other image row is a REAL baseline JPEG, so the
+                # decode_image FFD8 sniff path runs through extract_features
+                payload = encode_jpeg(px, quality=95)
+                mime = "image/jpeg"
+            else:
+                payload = encode_bmp(px)
+                mime = "image/bmp"
+            w, h, dur = px.shape[1], px.shape[0], None
         elif kind == "audio":
             t = np.arange(400 + 40 * (i % 8)) / 8000.0
             payload = encode_wav(np.sin(2 * np.pi * (200 + 20 * i) * t) * 0.7)
