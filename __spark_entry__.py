@@ -933,6 +933,50 @@ def q_multimodal_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC write->parse roundtrip (levsim/extras/warc.py) with a
+    closed-form oracle: each doc (doc_id < 80) becomes a response record
+    (synthetic url + epoch-derived WARC-Date + html wrapping the doc
+    text), batches are serialized to a REAL gzip'd WARC archive and parsed
+    back inside mapInPandas; the emitted url / epoch / byte-identical
+    extracted text / html byte length are recomputed arithmetically in
+    SQL.  A corrupted header walk, Content-Length slip, gzip mishandling
+    or HTTP-unwrap off-by-one all break the value hash.  Epochs are
+    computed pandas-side from the parsed ISO string so no engine timezone
+    setting participates."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 80).select("doc_id", "text")
+
+    def fn(batches):
+        from levsim.extras.warc import parse_warc, write_warc
+
+        for pdf in batches:
+            recs = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                url = f"https://crawl.example.com/{i}"
+                ts = pd.Timestamp(1577836800 + i, unit="s").strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")
+                recs.append((url, ts, f"<html><body>{t}</body></html>".encode()))
+            blob = write_warc(recs, gzip_out=True)
+            rows = {"url": [], "epoch": [], "html": []}
+            for rec in parse_warc(blob):
+                rows["url"].append(rec["url"])
+                rows["epoch"].append(int(
+                    pd.Timestamp(rec["warc_ts"]).timestamp()))
+                rows["html"].append(rec["html"])
+            yield pd.DataFrame(rows)
+
+    from levsim.tables import extract_text_from_html
+
+    raw = d.repartition(4).mapInPandas(fn, "url string, epoch long, html binary")
+    return raw.select(
+        "url",
+        "epoch",
+        extract_text_from_html(F.col("html")).alias("text"),
+        F.length("html").cast("long").alias("html_len"),
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization over the events stream table (30-minute
     inactivity gap) — the stateful-window operator class, expressed as
@@ -1535,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_distance_hint": q_lev_distance_hint,
         "event_sessions": q_event_sessions,
         "multimodal_roundtrip": q_multimodal_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2637,6 +2682,13 @@ def oracle_sql() -> dict[str, str]:
             ">= 0.4"
         ),
         "multimodal_roundtrip": _multimodal_oracle_sql(),
+        "warc_roundtrip": (
+            # html_len = len('<html><body>') + utf-8 bytes + len('</body></html>')
+            "SELECT 'https://crawl.example.com/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(1577836800 + doc_id AS BIGINT) AS epoch, text, "
+            "CAST(26 + octet_length(encode(text)) AS BIGINT) AS html_len "
+            "FROM documents WHERE doc_id < 80"
+        ),
         "event_sessions": (
             "WITH g AS (SELECT user_id, event_id, "
             "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
