@@ -55,21 +55,6 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
 
 
-def _pairs_trunc(spark: SparkSession, sf_dir: str, n: int = 150) -> DataFrame:
-    """`_pairs` with texts truncated to ``n`` chars — for the editops
-    ALGEBRA invariant queries (roundtrip/inverse/subtract/matching_blocks),
-    whose oracles count pairs (length-invariant) while the Spark side runs
-    pure-Python O(L^2) editops DPs per pair: full ~600-char texts cost
-    8-16s per query at sf0.01 (44s of the 173s gate), 150-char prefixes
-    exercise every op-type/branch at ~1/16th the cost.  Value-checking of
-    editops on FULL texts stays in editops_count_pairs."""
-    return _pairs(spark, sf_dir).select(
-        "lang", "source", "id_a", "id_b",
-        F.substring("text_a", 1, n).alias("text_a"),
-        F.substring("text_b", 1, n).alias("text_b"),
-    )
-
-
 _P_CTE = (
     "WITH p AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b, "
     "a.text AS text_a, b.text AS text_b FROM documents a JOIN documents b "
@@ -206,12 +191,16 @@ def q_editops_roundtrip(spark, sf_dir):
 
     @pandas_udf(BooleanType())
     def roundtrip_ok(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(a.tolist(), b.tolist()):
-            out.append(kernels.apply_edit(kernels.editops(x, y), x, y) == y)
+        from levsim.batch import batch_editops
+
+        al, bl = a.tolist(), b.tolist()
+        out = [
+            kernels.apply_edit(ops, x, y) == y
+            for x, y, ops in zip(al, bl, batch_editops(al, bl))
+        ]
         return pd.Series(out)
 
-    p = _pairs_trunc(spark, sf_dir).withColumn("ok", roundtrip_ok("text_a", "text_b"))
+    p = _pairs(spark, sf_dir).withColumn("ok", roundtrip_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_roundtrip_ok"),
@@ -233,14 +222,17 @@ def q_matching_blocks_check(spark, sf_dir):
 
     @pandas_udf(BooleanType())
     def blocks_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        from levsim.batch import batch_editops
+
+        al, bl = a.tolist(), b.tolist()
         out = []
-        for x, y in zip(a.tolist(), b.tolist()):
-            ops = kernels.editops(x, y)
+        for x, y, ops in zip(al, bl, batch_editops(al, bl)):
             blocks = kernels.matching_blocks(ops, x, y)
             ok = blocks[-1] == (len(x), len(y), 0)
             for i, j, n in blocks:
                 ok = ok and x[i:i + n] == y[j:j + n]
-            ok = ok and blocks == kernels.matching_blocks(kernels.opcodes(x, y), x, y)
+            ok = ok and blocks == kernels.matching_blocks(
+                kernels.opcodes(ops, len(x), len(y)), x, y)
             dels = sum(1 for o in ops if o[0] == "delete")
             inss = sum(1 for o in ops if o[0] == "insert")
             reps = sum(1 for o in ops if o[0] == "replace")
@@ -249,7 +241,7 @@ def q_matching_blocks_check(spark, sf_dir):
             out.append(ok)
         return pd.Series(out)
 
-    p = _pairs_trunc(spark, sf_dir).withColumn("ok", blocks_ok("text_a", "text_b"))
+    p = _pairs(spark, sf_dir).withColumn("ok", blocks_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_blocks_ok"),
@@ -266,18 +258,20 @@ def q_editops_inverse(spark, sf_dir):
 
     @pandas_udf(BooleanType())
     def inverse_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        from levsim.batch import batch_editops
+
+        al, bl = a.tolist(), b.tolist()
         out = []
-        for x, y in zip(a.tolist(), b.tolist()):
-            ops = kernels.editops(x, y)
+        for x, y, ops in zip(al, bl, batch_editops(al, bl)):
             inv = kernels.inverse(ops)
             ok = kernels.apply_edit(inv, y, x) == x
             ok = ok and kernels.inverse(inv) == [tuple(o) for o in ops]
             ok = ok and kernels.apply_edit(
-                kernels.inverse(kernels.opcodes(x, y)), y, x) == x
+                kernels.inverse(kernels.opcodes(ops, len(x), len(y))), y, x) == x
             out.append(ok)
         return pd.Series(out)
 
-    p = _pairs_trunc(spark, sf_dir).withColumn("ok", inverse_ok("text_a", "text_b"))
+    p = _pairs(spark, sf_dir).withColumn("ok", inverse_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_inverse_ok"),
@@ -296,9 +290,11 @@ def q_editops_subtract(spark, sf_dir):
 
     @pandas_udf(BooleanType())
     def subtract_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+        from levsim.batch import batch_editops
+
+        al, bl = a.tolist(), b.tolist()
         out = []
-        for x, y in zip(a.tolist(), b.tolist()):
-            ops = kernels.editops(x, y)
+        for x, y, ops in zip(al, bl, batch_editops(al, bl)):
             ok = True
             for sub in (ops[: len(ops) // 2], ops[::2], [], ops):
                 mid = kernels.apply_edit(sub, x, y)
@@ -307,7 +303,7 @@ def q_editops_subtract(spark, sf_dir):
             out.append(ok)
         return pd.Series(out)
 
-    p = _pairs_trunc(spark, sf_dir).withColumn("ok", subtract_ok("text_a", "text_b"))
+    p = _pairs(spark, sf_dir).withColumn("ok", subtract_ok("text_a", "text_b"))
     return p.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_subtract_ok"),

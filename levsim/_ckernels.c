@@ -691,3 +691,96 @@ void batch_simhash(const uint32_t *codes, const int64_t *offs, int64_t ndocs,
         out[d] = (int64_t)(sig ^ 0x8000000000000000ull);
     }
 }
+
+/* ------------------ editops (minimal edit script) --------------------- */
+
+/* Full-matrix unit-cost DP + backtrace mirroring levsim.kernels.
+ * _editops_from_strings EXACTLY: same matrix values (unique for unit
+ * costs) and the same backtrace preference order (diagonal-equal, then
+ * replace, then insert, then delete), so the emitted scripts are
+ * list-identical to the Python reference path (property-tested in
+ * tests/test_batch.py).  No common-affix stripping: positions are
+ * absolute and the Python path does not strip either.
+ *
+ * Output encoding: per op t in [offs[k], offs[k+1]) for pair k,
+ * ops[t] in {0=replace, 1=insert, 2=delete}, pi[t]=spos, pj[t]=dpos.
+ * Returns total ops written, or -1 if cap or the matrix buffer would
+ * overflow (caller sizes cap = sum(max(la, lb)) which is always enough).
+ */
+int64_t batch_editops(const uint32_t *ca, const int64_t *oa,
+                      const uint32_t *cb, const int64_t *ob,
+                      int64_t npairs,
+                      int8_t *ops, int32_t *pi, int32_t *pj,
+                      int64_t *offs, int64_t cap)
+{
+    int64_t maxa = 0, maxb = 0;
+    for (int64_t k = 0; k < npairs; k++) {
+        int64_t la = oa[k + 1] - oa[k], lb = ob[k + 1] - ob[k];
+        if (la > maxa) maxa = la;
+        if (lb > maxb) maxb = lb;
+    }
+    int32_t *m = (int32_t *)malloc((size_t)(maxa + 1) * (size_t)(maxb + 1) * sizeof(int32_t));
+    int64_t tmpcap = maxa + maxb;
+    int8_t *top = (int8_t *)malloc((size_t)(tmpcap ? tmpcap : 1));
+    int32_t *tpi = (int32_t *)malloc((size_t)(tmpcap ? tmpcap : 1) * sizeof(int32_t));
+    int32_t *tpj = (int32_t *)malloc((size_t)(tmpcap ? tmpcap : 1) * sizeof(int32_t));
+    if (!m || !top || !tpi || !tpj) {
+        free(m); free(top); free(tpi); free(tpj);
+        return -1;
+    }
+    int64_t w = 0;
+    offs[0] = 0;
+    for (int64_t k = 0; k < npairs; k++) {
+        const uint32_t *a = ca + oa[k];
+        const uint32_t *b = cb + ob[k];
+        int64_t la = oa[k + 1] - oa[k], lb = ob[k + 1] - ob[k];
+        int64_t stride = lb + 1;
+        for (int64_t j = 0; j <= lb; j++) m[j] = (int32_t)j;
+        for (int64_t i = 1; i <= la; i++) {
+            int32_t *row = m + i * stride, *prev = m + (i - 1) * stride;
+            row[0] = (int32_t)i;
+            uint32_t ai = a[i - 1];
+            for (int64_t j = 1; j <= lb; j++) {
+                int32_t v = prev[j - 1] + ((b[j - 1] == ai) ? 0 : 1);
+                int32_t d = prev[j] + 1;
+                if (d < v) v = d;
+                int32_t ins = row[j - 1] + 1;
+                if (ins < v) v = ins;
+                row[j] = v;
+            }
+        }
+        int64_t t = 0;
+        int64_t i = la, j = lb;
+        while (i > 0 || j > 0) {
+            int32_t cur = m[i * stride + j];
+            if (i > 0 && j > 0 && a[i - 1] == b[j - 1]
+                && m[(i - 1) * stride + (j - 1)] == cur) {
+                i--; j--;
+                continue;
+            }
+            if (i > 0 && j > 0 && m[(i - 1) * stride + (j - 1)] + 1 == cur) {
+                top[t] = 0; tpi[t] = (int32_t)(i - 1); tpj[t] = (int32_t)(j - 1);
+                t++; i--; j--;
+            } else if (j > 0 && m[i * stride + (j - 1)] + 1 == cur) {
+                top[t] = 1; tpi[t] = (int32_t)i; tpj[t] = (int32_t)(j - 1);
+                t++; j--;
+            } else {
+                top[t] = 2; tpi[t] = (int32_t)(i - 1); tpj[t] = (int32_t)j;
+                t++; i--;
+            }
+        }
+        if (w + t > cap) {
+            free(m); free(top); free(tpi); free(tpj);
+            return -1;
+        }
+        for (int64_t u = 0; u < t; u++) {   /* reverse into output */
+            ops[w + u] = top[t - 1 - u];
+            pi[w + u] = tpi[t - 1 - u];
+            pj[w + u] = tpj[t - 1 - u];
+        }
+        w += t;
+        offs[k + 1] = w;
+    }
+    free(m); free(top); free(tpi); free(tpj);
+    return w;
+}

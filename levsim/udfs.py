@@ -197,12 +197,14 @@ def lev_editops_udf():
 
     @pandas_udf(EDITOPS_SCHEMA)
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(a.tolist(), b.tolist()):
-            if x is None or y is None:
-                out.append(None)
-            else:
-                out.append([{"op": o, "spos": s, "dpos": d} for (o, s, d) in kernels.editops(x, y)])
+        from .batch import batch_editops
+
+        scripts = batch_editops(a.tolist(), b.tolist())
+        out = [
+            None if ops is None
+            else [{"op": o, "spos": s, "dpos": d} for (o, s, d) in ops]
+            for ops in scripts
+        ]
         return pd.Series(out)
 
     return _once(_udf)

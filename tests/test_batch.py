@@ -190,3 +190,30 @@ def test_batch_partial_ratio_fallback(monkeypatch):
     got, _ = batch.batch_partial_ratio(A[:40], B[:40])
     exp = [K.partial_ratio(x, y) for x, y in PAIRS[:40]]
     np.testing.assert_array_equal(got, exp)
+
+
+def test_batch_editops_matches_scalar_exactly():
+    """C batch editops must be LIST-identical to kernels.editops —
+    including backtrace tie-breaking — across random, empty, equal,
+    null and non-BMP inputs (and the pure-Python fallback trivially is)."""
+    import random
+
+    from levsim import batch, kernels
+
+    rng = random.Random(99)
+    alpha = "abcdz é中\U0001f600"
+    pairs = [("", ""), ("abc", ""), ("", "xyz"), ("same", "same"),
+             (None, "x"), ("y", None), ("kitten", "sitting")]
+    for _ in range(250):
+        s1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        s2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        pairs.append((s1, s2))
+    got = batch.batch_editops([p[0] for p in pairs], [p[1] for p in pairs])
+    for (x, y), g in zip(pairs, got):
+        want = None if (x is None or y is None) else kernels.editops(x, y)
+        assert g == want, (x, y)
+    # scripts replay correctly (ties broken identically implies this, but
+    # assert the user-visible contract too)
+    for (x, y), g in zip(pairs, got):
+        if g is not None:
+            assert kernels.apply_edit(g, x, y) == y
