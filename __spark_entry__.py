@@ -929,6 +929,33 @@ def q_multimodal_roundtrip(spark, sf_dir):
     )
 
 
+def q_contamination_overlap(spark, sf_dir):
+    """Benchmark decontamination (the standard train/test n-gram overlap
+    check): docs with doc_id < 20 play the benchmark probes, the rest the
+    training corpus; per probe we emit how many corpus docs share >= 2
+    distinct word n-grams plus the max/total shared counts — exact
+    integers, gram join recomputed verbatim in SQL.  The operator default
+    is the industry-standard 8-gram; the driver query uses 3-grams so the
+    sf0.01 corpus yields enough hits (17 of 20 probes) to actually
+    exercise the aggregation."""
+    from levsim.extras.textstats import ngram_overlap_counts
+
+    d = _docs(spark, sf_dir)
+    probes = d.where(F.col("doc_id") < 20)
+    corpus = d.where(F.col("doc_id") >= 20)
+    return ngram_overlap_counts(corpus, probes, n=3, min_shared=2)
+
+
+def q_bpe_merge_counts(spark, sf_dir):
+    """First BPE merge statistic (Sennrich 2016): corpus-wide adjacent
+    char-pair counts inside words, weighted by word frequency; top 20 by
+    (count DESC, pair ASC) — the tokenizer-training aggregation, fully
+    SQL-expressible."""
+    from levsim.extras.textstats import bpe_first_merge_counts
+
+    return bpe_first_merge_counts(_docs(spark, sf_dir), "text", top_k=20)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC write->parse roundtrip (levsim/extras/warc.py) with a
     closed-form oracle: each doc (doc_id < 80) becomes a response record
@@ -1576,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "multimodal_roundtrip": q_multimodal_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
+        "contamination_overlap": q_contamination_overlap,
+        "bpe_merge_counts": q_bpe_merge_counts,
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2678,6 +2707,36 @@ def oracle_sql() -> dict[str, str]:
             ">= 0.4"
         ),
         "multimodal_roundtrip": _multimodal_oracle_sql(),
+        "contamination_overlap": (
+            "WITH pg AS (SELECT DISTINCT doc_id AS probe_id, gram FROM ("
+            "SELECT doc_id, tk, len(tk) AS nt FROM (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk "
+            "FROM documents WHERE doc_id < 20)), "
+            "LATERAL (SELECT array_to_string(tk[i:i+2], ' ') AS gram "
+            "FROM unnest(generate_series(1, nt - 2)) AS u(i)) WHERE nt >= 3), "
+            "cg AS (SELECT DISTINCT doc_id AS corpus_id, gram FROM ("
+            "SELECT doc_id, tk, len(tk) AS nt FROM (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk "
+            "FROM documents WHERE doc_id >= 20)), "
+            "LATERAL (SELECT array_to_string(tk[i:i+2], ' ') AS gram "
+            "FROM unnest(generate_series(1, nt - 2)) AS u(i)) WHERE nt >= 3), "
+            "per_doc AS (SELECT probe_id, corpus_id, count(*) AS shared "
+            "FROM pg JOIN cg USING (gram) GROUP BY probe_id, corpus_id) "
+            "SELECT probe_id, CAST(count(*) AS BIGINT) AS n_docs_hit, "
+            "CAST(max(shared) AS BIGINT) AS max_shared, "
+            "CAST(sum(shared) AS BIGINT) AS total_shared "
+            "FROM per_doc WHERE shared >= 2 GROUP BY probe_id"
+        ),
+        "bpe_merge_counts": (
+            "WITH wc AS (SELECT w, count(*) AS wn FROM (SELECT "
+            "unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w "
+            "FROM documents) GROUP BY w), "
+            "pairs AS (SELECT substr(w, i, 2) AS pair, wn FROM wc, "
+            "unnest(generate_series(1, length(w) - 1)) AS u(i) "
+            "WHERE length(w) >= 2) "
+            "SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt FROM pairs "
+            "GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"
+        ),
         "warc_roundtrip": (
             # html_len = len('<html><body>') + utf-8 bytes + len('</body></html>')
             "SELECT 'https://crawl.example.com/' || CAST(doc_id AS VARCHAR) AS url, "

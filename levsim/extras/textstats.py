@@ -290,3 +290,99 @@ def chunk_documents(
         F.array_join("ctoks", " ").alias("chunk_text"),
         F.size("ctoks").cast("long").alias("n_tokens"),
     )
+
+
+def ngram_overlap_counts(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: for every probe document, how much of the
+    corpus shares its word n-grams (the standard train/test contamination
+    check — e.g. GPT-3 App. C, PaLM, Llama report 8-13-gram overlap).
+
+    Returns one row per probe: (probe_id, n_docs_hit, max_shared,
+    total_shared) where a corpus doc "hits" when it shares >=
+    ``min_shared`` DISTINCT n-grams with the probe.
+
+    Scale shape: distinct (id, gram) tables on both sides, an equi-join on
+    the gram (never on doc pairs), and two partial-aggregating groupBys —
+    at 100 TB the join fans out only where grams actually collide, and a
+    stop-gram cap can bound boilerplate n-grams the same way blocking stop
+    keys do.  Fully SQL-expressible (driver oracle recomputes it)."""
+    from pyspark.sql import functions as F
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    pg = grams(probes, "probe_id")
+    cg = grams(corpus, "corpus_id")
+    per_doc = (
+        pg.join(cg, "gram")
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        per_doc.where(F.col("shared") >= min_shared)
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_hit"),
+            F.max("shared").cast("long").alias("max_shared"),
+            F.sum("shared").cast("long").alias("total_shared"),
+        )
+    )
+
+
+def bpe_first_merge_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """The first step of BPE tokenizer training (Sennrich et al. 2016):
+    corpus-wide counts of adjacent character pairs inside words, weighted
+    by word frequency — the statistic whose argmax is the first merge.
+
+    Returns the ``top_k`` (pair, cnt) rows, count DESC then pair ASC
+    (deterministic).  Scale shape: word-count aggregation first (the
+    vocabulary is tiny next to the corpus), pair explosion over the
+    VOCABULARY not the corpus, one more partial-agg groupBy; top-k via
+    sorted limit on an already-aggregated table."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    words = df.select(F.explode(toks).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("pair"),
+        F.col("wn"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -854,3 +854,40 @@ def test_shard_manifests(spark):
             for r in shard_manifests(changed, "doc_id", "text", 21).collect()}
     base = {r.shard_id: r.checksum for r in man}
     assert {s for s in base if diff[s] != base[s]} == {1}  # only doc 4's shard
+
+
+def test_ngram_overlap_counts_exact(spark):
+    """Decontamination overlap on a hand-computable corpus."""
+    from levsim.extras.textstats import ngram_overlap_counts
+
+    probes = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y z w v"), (2, "")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "a b c d q"),      # shares 3-grams 'a b c', 'b c d' with probe 0
+         (11, "b c d e f"),      # shares 'b c d', 'c d e'
+         (12, "a b q c d"),      # shares nothing contiguous of length 3
+         (13, "x y z")],         # shares 'x y z' (1 gram) with probe 1
+        "doc_id long, text string")
+    got = {r["probe_id"]: (r["n_docs_hit"], r["max_shared"], r["total_shared"])
+           for r in ngram_overlap_counts(corpus, probes, n=3, min_shared=2).collect()}
+    # probe 0 hit by docs 10 and 11 (2 shared grams each); probe 1's only
+    # match (doc 13) shares 1 gram < min_shared; probe 2 empty
+    assert got == {0: (2, 2, 4)}
+    got1 = {r["probe_id"]: (r["n_docs_hit"], r["max_shared"])
+            for r in ngram_overlap_counts(corpus, probes, n=3, min_shared=1).collect()}
+    assert got1[1] == (1, 1)
+
+
+def test_bpe_first_merge_counts_exact(spark):
+    """First-merge pair statistic on a corpus where counts are manual:
+    'aaab' contributes pairs aa,aa,ab; word frequency weights apply."""
+    from levsim.extras.textstats import bpe_first_merge_counts
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab cd"), (2, "cd x")], "doc_id long, text string")
+    rows = [(r["pair"], r["cnt"]) for r in
+            bpe_first_merge_counts(df, "text", top_k=10).collect()]
+    # aa: 2 per 'aaab' * wn 2 = 4; ab: 1 * 2 = 2; cd: wn 2 -> 2; x: len 1 none
+    assert rows == [("aa", 4), ("ab", 2), ("cd", 2)]
+    # determinism of the tie order: ab before cd at equal counts
