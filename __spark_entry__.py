@@ -1062,6 +1062,35 @@ def q_minhash_dedup_pairs(spark, sf_dir):  # hard oracle: SQL band-key replica
     return minhash_candidate_pairs(d, "doc_id", "text", rows_per_band=2, shingle_k=2)
 
 
+def q_minhash_dedup_clusters(spark, sf_dir):
+    """END-TO-END dedup pipeline, every stage value-checked: MinHash band
+    candidates (SQL band-key replica) -> exact integer token-Jaccard verify
+    (inter*2 >= union, no float) -> distributed connected components ->
+    (doc_id, cluster_id) for every doc in a verified near-dup pair.  The
+    oracle recomputes candidates with the established band-key SQL, applies
+    the same integer verify, and closes components with a recursive-CTE
+    min-label reachability (UNION-dedup fixed point) — so a wrong candidate
+    set, a verify slip, OR a CC labeling bug each break the hash."""
+    from levsim.clustering import connected_components
+    from levsim.extras.dedup import minhash_candidate_pairs, token_jaccard_col
+
+    d = _docs(spark, sf_dir)
+    cand = minhash_candidate_pairs(d, "doc_id", "text", rows_per_band=2, shingle_k=2)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    ta = F.array_distinct(F.split("text_a", " "))
+    tb = F.array_distinct(F.split("text_b", " "))
+    ver = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .where(
+            F.size(F.array_intersect(ta, tb)) * 2
+            >= F.size(F.array_union(ta, tb))
+        )
+        .select("id_a", "id_b")
+    )
+    return connected_components(ver).select("doc_id", "cluster_id")
+
+
 def q_simhash_pairs(spark, sf_dir):  # hard oracle: SQL signature replica
     from levsim.extras.dedup import simhash_candidate_pairs
 
@@ -1608,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "seqratio_groups": q_seqratio_groups,
         "seqratio_char_lists": q_seqratio_char_lists,
@@ -2672,6 +2702,27 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string((array_agg(doc_id ORDER BY doc_id))[1:5], ',') AS dup_ids "
             "FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents) "
             "GROUP BY t HAVING count(*) > 1"
+        ),
+        "minhash_dedup_clusters": (
+            "WITH cand AS (SELECT * FROM (" + _minhash_pairs_oracle_sql(
+                n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED)
+            + ") q), "
+            "ver AS (SELECT c.id_a, c.id_b FROM cand c "
+            "JOIN documents da ON da.doc_id = c.id_a "
+            "JOIN documents db ON db.doc_id = c.id_b "
+            "WHERE len(list_intersect(list_distinct(string_split(da.text, ' ')), "
+            "list_distinct(string_split(db.text, ' ')))) * 2 >= "
+            "len(list_distinct(list_concat(list_distinct(string_split(da.text, ' ')), "
+            "list_distinct(string_split(db.text, ' ')))))), "
+            "nodes AS (SELECT DISTINCT id FROM "
+            "(SELECT id_a AS id FROM ver UNION SELECT id_b FROM ver)), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM ver "
+            "UNION SELECT id_b, id_a FROM ver) "
+            "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM ("
+            "WITH RECURSIVE reach(node, r) AS ("
+            "SELECT id, id FROM nodes UNION "
+            "SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node) "
+            "SELECT node, r FROM reach) GROUP BY node"
         ),
         "minhash_dedup_pairs": _minhash_pairs_oracle_sql(
             n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED),
