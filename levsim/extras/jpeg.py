@@ -284,9 +284,15 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # --- encoder ----------------------------------------------------------------
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
     """(H, W) or (H, W, 1) uint8 grayscale, or (H, W, 3) uint8 RGB ->
-    baseline JFIF bytes (4:4:4, single interleaved scan)."""
+    baseline JFIF bytes (4:4:4, single interleaved scan).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (DC predictors reset, modulo-8 marker cycling) — the
+    spec's error-resilience feature, here mainly so the decoder's resync
+    path has a real producer to test against."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -317,8 +323,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * ncomp
+    mcu = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                pred = [0] * ncomp
+            mcu += 1
             for ci in range(ncomp):
                 ti = 0 if ci == 0 else 1
                 block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, ci]
@@ -371,6 +383,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
             continue
         bits, vals = spec
         out += seg(0xFFC4, bytes([(cls << 4) | ti]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     scomps = b"".join(
         bytes([ci + 1, (0 << 4) if ci == 0 else 0x11]) for ci in range(ncomp)
     )

@@ -99,3 +99,18 @@ def test_decode_image_sniffs_jpeg():
     # per-channel means of a flat 77-gray image: 77/127.5 - 1, tolerance
     # covers the quantization step
     assert abs(float(feats[0]) - (77 / 127.5 - 1.0)) < 0.02
+
+
+def test_restart_interval_roundtrip():
+    """DRI/RSTn emission + the decoder's resync path: identical pixels to
+    the no-restart stream, across interval sizes that hit the modulo-8
+    marker cycling (a 6x6-MCU image at interval 1 emits 35 markers)."""
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 256, size=(48, 48, 3), dtype=np.uint8) // 4 + 96).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    for interval in (1, 2, 5, 36, 100):
+        enc = jpeg.encode_jpeg(img, quality=90, restart_interval=interval)
+        assert (jpeg.decode_jpeg(enc) == base).all(), interval
+    # markers really are in the stream (and stuffing didn't eat them)
+    enc1 = jpeg.encode_jpeg(img, quality=90, restart_interval=1)
+    assert any(bytes([0xFF, 0xD0 + k]) in enc1 for k in range(8))

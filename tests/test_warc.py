@@ -84,3 +84,34 @@ def test_read_warc_distributed(spark, tmp_path):
     assert df.schema.simpleString() == (
         "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
     )
+
+
+def test_parse_warc_adversarial_bodies():
+    """HTML bodies containing WARC-looking content, bare CRLFs, gzip magic
+    and NUL bytes must roundtrip byte-identically — Content-Length framing,
+    not sentinel scanning, delimits records."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nasty = st.binary(min_size=0, max_size=400) | st.sampled_from([
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n",
+        b"HTTP/1.1 200 OK\r\n\r\nfake",
+        b"\x1f\x8b\x08fake-gzip",
+        b"\xff\xd8\xff\xd9",
+        b"\r\n" * 50,
+        b"\x00" * 64,
+    ])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(nasty, min_size=1, max_size=5), st.booleans())
+    def check(bodies, gz):
+        recs = [
+            (f"https://x.example/{i}", "2021-01-01T00:00:00Z", b)
+            for i, b in enumerate(bodies)
+        ]
+        got = list(warc.parse_warc(warc.write_warc(recs, gzip_out=gz)))
+        assert [(g["url"], g["html"]) for g in got] == [
+            (u, b) for (u, _, b) in recs
+        ]
+
+    check()
