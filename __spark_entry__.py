@@ -946,6 +946,21 @@ def q_contamination_overlap(spark, sf_dir):
     return ngram_overlap_counts(corpus, probes, n=3, min_shared=2)
 
 
+def q_lm_fluency_scores(spark, sf_dir):
+    """Count-based LM quality filter (CCNet-style perplexity-filter family)
+    in EXACT integers: a bigram LM with stupid-backoff trained on docs
+    doc_id >= 20, scoring docs < 20 — per doc the count of bigram
+    positions, LM hits, and the floor-division conditional-probability ppm
+    sum.  No floats anywhere (Spark DIV == DuckDB //), so the oracle
+    recomputes the whole train+score pipeline and hash-matches."""
+    from levsim.extras.textstats import bigram_fluency_scores
+
+    d = _docs(spark, sf_dir)
+    return bigram_fluency_scores(
+        d.where(F.col("doc_id") >= 20), d.where(F.col("doc_id") < 20)
+    )
+
+
 def q_bpe_merge_counts(spark, sf_dir):
     """First BPE merge statistic (Sennrich 2016): corpus-wide adjacent
     char-pair counts inside words, weighted by word frequency; top 20 by
@@ -1634,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "contamination_overlap": q_contamination_overlap,
         "bpe_merge_counts": q_bpe_merge_counts,
+        "lm_fluency_scores": q_lm_fluency_scores,
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2777,6 +2793,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(shared) AS BIGINT) AS max_shared, "
             "CAST(sum(shared) AS BIGINT) AS total_shared "
             "FROM per_doc WHERE shared >= 2 GROUP BY probe_id"
+        ),
+        "lm_fluency_scores": (
+            "WITH ttk AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk "
+            "FROM documents WHERE doc_id >= 20), "
+            "uni AS (SELECT w, count(*) AS c1 FROM "
+            "(SELECT unnest(tk) AS w FROM ttk) GROUP BY w), "
+            "tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM ttk), "
+            "bi AS (SELECT wp, w, count(*) AS c2 FROM "
+            "(SELECT tk[i] AS wp, tk[i+1] AS w FROM ttk, "
+            "unnest(generate_series(1, len(tk) - 1)) AS u(i) "
+            "WHERE len(tk) >= 2) GROUP BY wp, w), "
+            "stk AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk "
+            "FROM documents WHERE doc_id < 20), "
+            "pos AS (SELECT doc_id, tk[i] AS wp, tk[i+1] AS w FROM stk, "
+            "unnest(generate_series(1, len(tk) - 1)) AS u(i) "
+            "WHERE len(tk) >= 2), "
+            "j AS (SELECT p.doc_id, b.c2, u1.c1, u2.c1 AS cu FROM pos p "
+            "LEFT JOIN bi b ON b.wp = p.wp AND b.w = p.w "
+            "LEFT JOIN uni u1 ON u1.w = p.wp "
+            "LEFT JOIN uni u2 ON u2.w = p.w) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(CASE WHEN c2 IS NOT NULL AND c1 IS NOT NULL "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, "
+            "CAST(sum(CASE WHEN c2 IS NOT NULL AND c1 IS NOT NULL "
+            "THEN (1000000 * c2) // c1 "
+            "ELSE (400000 * coalesce(cu, 0)) // (SELECT n FROM tot) END) "
+            "AS BIGINT) AS fluency_ppm "
+            "FROM j GROUP BY doc_id"
         ),
         "bpe_merge_counts": (
             "WITH wc AS (SELECT w, count(*) AS wn FROM (SELECT "

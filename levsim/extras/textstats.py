@@ -386,3 +386,102 @@ def bpe_first_merge_counts(
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def bigram_fluency_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_ppm: int = 400_000,
+) -> DataFrame:
+    """Count-based LM quality scoring (the CCNet/Gopher "perplexity filter"
+    family, public): a bigram LM with stupid-backoff (Brants et al. 2007)
+    is trained on ``train`` and every ``score`` doc gets an EXACT-integer
+    fluency aggregate — no floats, so the driver oracle hash-matches.
+
+    Per scored token position i >= 1 the contribution is
+      seen bigram:  (10^6 * c(w_{i-1} w_i)) DIV c(w_{i-1})   (cond. prob ppm)
+      else:         (backoff_ppm * c(w_i)) DIV total_tokens  (unigram backoff)
+    — integer floor division on both engines (Spark DIV == DuckDB //), so
+    the sum is bit-exact.  Returns (id, n_bigrams, n_hits, fluency_ppm)
+    with n_hits = positions whose bigram the LM has seen; callers filter on
+    fluency_ppm / n_bigrams (low = disfluent/boilerplate/junk).
+
+    Scale shape: the LM is two count tables aggregated from the train
+    corpus (vocabulary-sized, not corpus-sized); scoring joins the scored
+    docs' (id, pos, w_prev, w) rows to those tables by key — at 100 TB the
+    count tables behave like dimension tables (broadcast or bucket-join)
+    and nothing is quadratic.
+    """
+    from pyspark.sql import functions as F
+
+    def toks(df: DataFrame) -> DataFrame:
+        t = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        return df.select(F.col(id_col).alias("id"), t.alias("tk"))
+
+    tr = toks(train)
+    uni = (
+        tr.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = tr.select(F.sum(F.size("tk")).alias("n")).collect()[0]["n"] or 0
+    bi = (
+        tr.select(
+            F.explode(
+                F.when(
+                    F.size("tk") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 1),
+                        lambda i: F.struct(
+                            F.element_at("tk", i).alias("wp"),
+                            F.element_at("tk", i + 1).alias("w"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<wp:string,w:string>>"))
+            ).alias("g")
+        )
+        .select("g.wp", "g.w")
+        .groupBy("wp", "w")
+        .agg(F.count("*").alias("c2"))
+    )
+    pos = (
+        toks(score)
+        .select(
+            "id",
+            F.explode(
+                F.when(
+                    F.size("tk") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 1),
+                        lambda i: F.struct(
+                            F.element_at("tk", i).alias("wp"),
+                            F.element_at("tk", i + 1).alias("w"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<wp:string,w:string>>"))
+            ).alias("g"),
+        )
+        .select("id", "g.wp", "g.w")
+    )
+    joined = (
+        pos.join(bi, ["wp", "w"], "left")
+        .join(uni.select(F.col("w").alias("wp"), "c1"), "wp", "left")
+        .join(
+            uni.select(F.col("w"), F.col("c1").alias("cu")), "w", "left"
+        )
+    )
+    seen = F.col("c2").isNotNull() & F.col("c1").isNotNull()
+    contrib = F.when(seen, F.expr("(1000000 * c2) div c1")).otherwise(
+        F.expr(f"({backoff_ppm} * coalesce(cu, 0)) div {max(int(total), 1)}")
+    )
+    return (
+        joined.withColumn("_p", contrib)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(seen, 1).otherwise(0)).cast("long").alias("n_hits"),
+            F.sum("_p").cast("long").alias("fluency_ppm"),
+        )
+    )

@@ -891,3 +891,25 @@ def test_bpe_first_merge_counts_exact(spark):
     # aa: 2 per 'aaab' * wn 2 = 4; ab: 1 * 2 = 2; cd: wn 2 -> 2; x: len 1 none
     assert rows == [("aa", 4), ("ab", 2), ("cd", 2)]
     # determinism of the tie order: ab before cd at equal counts
+
+
+def test_bigram_fluency_scores_exact(spark):
+    """LM fluency on a hand-computable train/score split.
+
+    Train: "a b a b" + "a c"  ->  unigrams a:3 b:2 c:1, total 6;
+    bigrams (a,b):2 (b,a):1 (a,c):1.
+    Score "a b c": (a,b) seen -> 1e6*2//3 = 666666;
+                   (b,c) unseen -> backoff 400000*1//6 = 66666.
+    Score "z z":   one bigram position (z,z), unseen, z OOV -> 0.
+    """
+    from levsim.extras.textstats import bigram_fluency_scores
+
+    train = spark.createDataFrame(
+        [(100, "a b a b"), (101, "a c")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(0, "a b c"), (1, "z z"), (2, "solo")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_hits"], r["fluency_ppm"])
+           for r in bigram_fluency_scores(train, score).collect()}
+    assert got[0] == (2, 1, 666666 + 66666)
+    assert got[1] == (1, 0, 0)
+    assert 2 not in got  # single-token doc has no bigram positions
