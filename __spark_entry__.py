@@ -946,6 +946,45 @@ def q_contamination_overlap(spark, sf_dir):
     return ngram_overlap_counts(corpus, probes, n=3, min_shared=2)
 
 
+def q_repeated_line_removal(spark, sf_dir):
+    """C4-style boilerplate line removal (Raffel et al. §2.2): each doc gets
+    two injected boilerplate lines (present in every doc), one empty line
+    and one unique line; lines in >= 10 distinct docs are dropped.  Emits
+    exact integers (line counts + cleaned byte length — length needs no
+    line ORDER, so the oracle avoids ordinality entirely: clean_len =
+    sum(len(kept)) + max(n_kept - 1, 0) separators)."""
+    from levsim.extras.webprep import remove_repeated_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("ACCEPT COOKIES TO CONTINUE"),
+            F.lit(""),
+            F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+            F.lit("(c) example inc all rights reserved"),
+        ).alias("text"),
+    )
+    out = remove_repeated_lines(d, min_docs=10)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Span-level duplication signal (Lee et al. 2022 dedup family): per
+    doc, total 8-token windows, windows occurring in other docs (with
+    multiplicity and distinct) — exact integers, gram-frequency join
+    recomputed verbatim in SQL."""
+    from levsim.extras.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), "doc_id", "text", window_tokens=8)
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -1650,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": q_contamination_overlap,
         "bpe_merge_counts": q_bpe_merge_counts,
         "lm_fluency_scores": q_lm_fluency_scores,
+        "repeated_line_removal": q_repeated_line_removal,
+        "dup_span_stats": q_dup_span_stats,
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2793,6 +2834,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(shared) AS BIGINT) AS max_shared, "
             "CAST(sum(shared) AS BIGINT) AS total_shared "
             "FROM per_doc WHERE shared >= 2 GROUP BY probe_id"
+        ),
+        "repeated_line_removal": (
+            "WITH d AS (SELECT doc_id, text || chr(10) || "
+            "'ACCEPT COOKIES TO CONTINUE' || chr(10) || chr(10) || "
+            "'unique line ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+            "'(c) example inc all rights reserved' AS t FROM documents), "
+            "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d), "
+            "bl AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines "
+            "WHERE line != '') GROUP BY line HAVING count(*) >= 10), "
+            "kept AS (SELECT l.doc_id, l.line FROM lines l "
+            "LEFT JOIN bl ON bl.line = l.line WHERE bl.line IS NULL), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lines GROUP BY doc_id), "
+            "k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(length(line)) + greatest(count(*) - 1, 0) AS BIGINT) "
+            "AS clean_len FROM kept GROUP BY doc_id) "
+            "SELECT tot.doc_id, tot.n_lines, COALESCE(k.n_kept, 0) AS n_kept, "
+            "COALESCE(k.clean_len, 0) AS clean_len "
+            "FROM tot LEFT JOIN k ON k.doc_id = tot.doc_id"
+        ),
+        "dup_span_stats": (
+            "WITH tk AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram "
+            "FROM tk, unnest(generate_series(1, len(tk) - 7)) AS u(i) "
+            "WHERE len(tk) >= 8), "
+            "dfreq AS (SELECT gram, count(*) AS gdf FROM "
+            "(SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram), "
+            "per AS (SELECT g.doc_id, g.gram, CASE WHEN d.gdf >= 2 THEN 1 "
+            "ELSE 0 END AS dup FROM g JOIN dfreq d ON d.gram = g.gram) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+            "CAST(sum(dup) AS BIGINT) AS n_dup_windows, "
+            "CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct, "
+            "CAST(count(DISTINCT CASE WHEN dup = 1 THEN gram END) AS BIGINT) "
+            "AS n_dup_distinct "
+            "FROM per GROUP BY doc_id"
         ),
         "lm_fluency_scores": (
             "WITH ttk AS (SELECT doc_id, "

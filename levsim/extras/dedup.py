@@ -792,3 +792,50 @@ def sparse_token_cosine_pairs(
             (F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Span-level duplication signal (the statistic behind Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": how much of
+    a document consists of token spans that also occur elsewhere).  For
+    each doc: total ``window_tokens``-grams, how many of them (counted with
+    multiplicity) occur in >= 1 OTHER document, and the distinct-gram
+    variants of both — exact integers.
+
+    Scale shape: per-gram document frequencies from an (id, gram)-distinct
+    groupBy (partial agg), joined back to the doc's grams by gram key; no
+    pairwise joins, nothing quadratic.  A full substring-dedup (suffix
+    arrays) finds arbitrary-length spans; fixed windows are the standard
+    scalable approximation — any duplicated span >= window_tokens long is
+    detected by its windows."""
+    w = window_tokens
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(w)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    dfreq = (
+        g.select("id", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+    )
+    per = g.join(dfreq, "gram").withColumn("dup", (F.col("gdf") >= 2).cast("int"))
+    return (
+        per.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("dup").cast("long").alias("n_dup_windows"),
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+            F.countDistinct(F.when(F.col("dup") == 1, F.col("gram"))).cast("long")
+            .alias("n_dup_distinct"),
+        )
+    )

@@ -18,7 +18,7 @@ mirroring the phonetic_key approach in levsim/normalize.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # RE2-compatible (no backrefs/lookaround); identical semantics under Java
@@ -134,4 +134,61 @@ def pii_counts(col) -> Column:
         n_urls.cast("long").alias("n_urls"),
         n_emails.cast("long").alias("n_emails"),
         n_nums.cast("long").alias("n_nums"),
+    )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """C4-style boilerplate line removal (Raffel et al. 2020 §2.2, public):
+    a line occurring in >= ``min_docs`` DISTINCT documents is boilerplate
+    (cookie banners, nav bars, license footers) and is dropped from every
+    document; the remaining lines are re-joined in order.
+
+    Returns (id, n_lines, n_kept, clean_text).  Scale shape: lines are
+    counted by DISTINCT doc (an (id, line)-distinct + groupBy — partial
+    aggregation does the heavy lifting), and the per-doc rebuild is a
+    posexplode + anti-join + ordered collect_list keyed by the doc id:
+    no window over the corpus, nothing quadratic.  Empty lines never count
+    as boilerplate (they separate paragraphs, they aren't content)."""
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "line"),
+    )
+    freq = (
+        lines.where(F.col("line") != "")
+        .select("id", "line").distinct()
+        .groupBy("line")
+        .agg(F.countDistinct("id").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(freq, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ln", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+    totals = lines.groupBy("id").agg(F.count("*").cast("long").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

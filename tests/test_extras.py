@@ -913,3 +913,40 @@ def test_bigram_fluency_scores_exact(spark):
     assert got[0] == (2, 1, 666666 + 66666)
     assert got[1] == (1, 0, 0)
     assert 2 not in got  # single-token doc has no bigram positions
+
+
+def test_remove_repeated_lines_exact(spark):
+    """C4 boilerplate removal on a hand-computable corpus: a line in >= 3
+    docs is dropped, empty lines never count as boilerplate, order and
+    joining survive, all-boilerplate docs come back empty."""
+    from levsim.extras.webprep import remove_repeated_lines
+
+    bp = "ACCEPT COOKIES"
+    rows = [(i, f"body {i}\n{bp}\n\nfooter {i % 2}") for i in range(4)]
+    rows.append((9, bp))  # a doc that is ONLY boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_repeated_lines(df, min_docs=3).collect()}
+    for i in range(4):
+        # 'footer 0'/'footer 1' occur in only 2 docs each -> kept
+        assert out[i]["n_lines"] == 4 and out[i]["n_kept"] == 3
+        assert out[i]["clean_text"] == f"body {i}\n\nfooter {i % 2}"
+    assert out[9]["n_lines"] == 1 and out[9]["n_kept"] == 0
+    assert out[9]["clean_text"] == ""
+
+
+def test_dup_span_stats_exact(spark):
+    """Span duplication on a tiny corpus: docs 1 and 2 share one 3-token
+    window; doc 3 shares none."""
+    from levsim.extras.dedup import dup_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x a b c"), (3, "p q r s")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["n_distinct"], r["n_dup_distinct"])
+           for r in dup_span_stats(df, window_tokens=3).collect()}
+    # doc 1 windows: 'a b c', 'b c d'; doc 2: 'x a b', 'a b c'
+    assert got[1] == (2, 1, 2, 1)
+    assert got[2] == (2, 1, 2, 1)
+    assert got[3] == (2, 0, 2, 0)
