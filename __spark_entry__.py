@@ -2649,10 +2649,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id_ngram": _lang_ngram_oracle_sql(),
         "fingerprint_docs": (
-            "SELECT doc_id, list_reduce("
+            # CASE: fp('') pinned to 0 (Spark ascii('') = 0 vs DuckDB
+            # unicode('') = -1 on the empty pseudo-char)
+            "SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE "
+            "list_reduce("
             "list_prepend(CAST(0 AS BIGINT), "
             "list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))), "
-            "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"
+            "(a, b) -> (a * 31 + b) % 1000000007) END AS fp FROM documents"
         ),
         "embedding_norm": (
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "

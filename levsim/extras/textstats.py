@@ -226,13 +226,19 @@ def lang_id(col) -> Column:
 def fingerprint(col) -> Column:
     """Polynomial rolling hash over code points:
     fold(chars, 0, (acc, ch) -> (acc*31 + codepoint(ch)) % 1e9+7).
-    Sequential fold — bit-identical in DuckDB's list_reduce oracle."""
+    Sequential fold — bit-identical in DuckDB's list_reduce oracle.
+    fp('') is PINNED to 0: both engines split '' into [''] whose lone
+    pseudo-char has no codepoint, and they disagree on it (Spark ascii('')
+    = 0, DuckDB unicode('') = -1 — caught by the adversarial empty-text
+    fixture)."""
     c = F.col(col) if isinstance(col, str) else col
     chars = F.split(c, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * _FP_MULT + F.ascii(ch)) % _FP_MOD,
+    return F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * _FP_MULT + F.ascii(ch)) % _FP_MOD,
+        )
     )
 
 

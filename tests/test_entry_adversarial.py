@@ -83,6 +83,10 @@ def adversarial_dir(spark, tmp_path_factory):
     "canonical_url_docs", "dataset_split_assign", "pii_redaction_stats",
     "median_improve_chars", "seqratio_char_lists",
     "chunk_documents", "token_shards", "shard_manifests",
+    # round-4 queries: empty/whitespace texts, identical docs and 2^k
+    # unions flow through the gram joins, LM counts and line splitting
+    "contamination_overlap", "bpe_merge_counts", "lm_fluency_scores",
+    "repeated_line_removal", "dup_span_stats", "fingerprint_docs",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]
