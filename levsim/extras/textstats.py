@@ -491,3 +491,126 @@ def bigram_fluency_scores(
             F.sum("_p").cast("long").alias("fluency_ppm"),
         )
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_vocab: int = 100_000,
+) -> list:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, public) —
+    the tokenizer-training loop, Spark-shaped: the ONLY corpus-sized pass
+    is the distributed word-frequency aggregation; the merge loop then
+    runs driver-side over that bounded vocabulary table (the same pattern
+    as IVF's driver-side k-means over a bounded sample — a web corpus has
+    ~10^12 tokens but ~10^7 distinct words, and ``max_vocab`` caps the
+    driver copy at the most frequent entries).
+
+    Words are split into characters plus the standard ``</w>`` end-of-word
+    marker; each step merges the (count DESC, pair ASC — deterministic)
+    most frequent adjacent symbol pair, non-overlapping left-to-right.
+    Returns the ordered merge list [(left, right), ...]; stops early when
+    no pair occurs twice.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    wc_rows = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab = {tuple(r["w"]) + ("</w>",): int(r["n"]) for r in wc_rows}
+    merges: list = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _cnt = best
+        merged = a + b
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+        merges.append((a, b))
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge list: each word is split to chars +
+    ``</w>`` and the merges replay IN TRAINING ORDER (non-overlapping
+    left-to-right, the standard greedy application).  Arrow-batched with a
+    per-batch word cache — web text repeats words heavily, so the
+    per-distinct-word cost is amortized.  Emits array<string>; joining a
+    word's tokens and stripping the marker reconstructs the word exactly
+    (property-tested)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(list(merges))
+
+    @pandas_udf("array<string>")
+    def _udf(texts):
+        import pandas as pd
+
+        mg = bc.value
+        cache: dict = {}
+
+        def encode_word(w: str):
+            got = cache.get(w)
+            if got is None:
+                syms = list(w) + ["</w>"]
+                for a, b in mg:
+                    out = []
+                    i = 0
+                    while i < len(syms):
+                        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list = []
+            for w in t.split(" "):
+                if w:
+                    toks.extend(encode_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))

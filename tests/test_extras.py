@@ -950,3 +950,40 @@ def test_dup_span_stats_exact(spark):
     assert got[1] == (2, 1, 2, 1)
     assert got[2] == (2, 1, 2, 1)
     assert got[3] == (2, 0, 2, 0)
+
+
+def test_train_bpe_sennrich_example(spark):
+    """The classic Sennrich et al. corpus (low/lower/newest/widest with
+    frequencies 5/2/6/3): first merges must be (e,s) count 9, (es,t) 9,
+    (est,</w>) 9 — hand-derivable from the paper's worked example."""
+    from levsim.extras.textstats import train_bpe
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    # more merges keep being deterministic and well-formed
+    more = train_bpe(df, n_merges=10)
+    assert more[:3] == merges and len(more) <= 10
+
+
+def test_apply_bpe_reconstructs_and_compresses(spark):
+    """apply_bpe replays training merges: joined tokens minus the marker
+    reconstruct each word exactly, trained words compress to fewer symbols
+    than characters, unseen words fall back toward characters."""
+    from levsim.extras.textstats import apply_bpe, train_bpe
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    train = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = train_bpe(train, n_merges=10)
+    score = spark.createDataFrame(
+        [(1, "newest lowest zebra"), (2, None)], "doc_id long, text string")
+    rows = {r["doc_id"]: r["bpe_tokens"]
+            for r in apply_bpe(score, merges).collect()}
+    assert rows[2] is None
+    toks = rows[1]
+    # reconstruction: concatenating and splitting on the marker gives words
+    assert "".join(toks).replace("</w>", " ").strip() == "newest lowest zebra"
+    # 'newest' was trained: it must compress below its 7 char+marker symbols
+    first_word_len = toks.index(next(t for t in toks if t.endswith("</w>"))) + 1
+    assert first_word_len < 7
