@@ -985,6 +985,61 @@ def q_dup_span_stats(spark, sf_dir):
     return dup_span_stats(_docs(spark, sf_dir), "doc_id", "text", window_tokens=8)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Full BPE training, first 5 merges, HARD-oracled: the Spark side runs
+    train_bpe (distributed word counts -> driver merge loop over the
+    bounded vocabulary); the oracle replays the SAME 5 adaptive iterations
+    in pure SQL — per step, pair counts from the current symbolization,
+    the (count DESC, pair ASC) argmax, and the merge applied via string
+    replace over open/close-sentinel-encoded symbols (chr(1) sym chr(2)
+    per symbol, so consecutive pair runs merge left-to-right
+    non-overlapping EXACTLY like the trainer's scan — a shared single
+    delimiter would consume the boundary and skip every second run).
+    A wrong count, tie-break, or merge application diverges mid-chain and
+    every later step's hash breaks."""
+    from levsim.extras.textstats import train_bpe
+
+    merges = train_bpe(_docs(spark, sf_dir), "text", n_merges=5,
+                       with_counts=True)
+    rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step long, left string, right string, cnt long"
+    )
+
+
+def _bpe_merges_oracle_sql(k: int = 5) -> str:
+    """K chained CTE iterations of the BPE merge loop (see q_bpe_merges)."""
+    parts = [
+        "WITH wc AS (SELECT w, count(*) AS n FROM (SELECT "
+        "unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w "
+        "FROM documents) GROUP BY w), "
+        # one symbol = chr(1) sym chr(2); end-of-word marker appended
+        "v0 AS (SELECT chr(1) || array_to_string(string_split(w, ''), "
+        "chr(2) || chr(1)) || chr(2) || chr(1) || '</w>' || chr(2) AS s, n "
+        "FROM wc)"
+    ]
+    for i in range(1, k + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f", sy{i} AS (SELECT list_filter(string_split(replace(s, chr(1), ''), "
+            f"chr(2)), x -> x != '') AS sy, n FROM {prev})"
+            f", p{i} AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c "
+            f"FROM sy{i}, unnest(generate_series(1, len(sy) - 1)) AS u(i) "
+            f"GROUP BY 1, 2)"
+            f", m{i} AS (SELECT a, b, c FROM p{i} WHERE c >= 2 "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+            f", v{i} AS (SELECT replace(t.s, "
+            f"chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2), "
+            f"chr(1) || m.a || m.b || chr(2)) AS s, t.n FROM {prev} t, m{i} m)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS left, b AS right, "
+        f"CAST(c AS BIGINT) AS cnt FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + " " + sel
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -1690,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_counts": q_bpe_merge_counts,
         "lm_fluency_scores": q_lm_fluency_scores,
         "repeated_line_removal": q_repeated_line_removal,
+        "bpe_merges": q_bpe_merges,
         "dup_span_stats": q_dup_span_stats,
         "ivf_topk": q_ivf_topk,
         "exact_dup_groups": q_exact_dup_groups,
@@ -2838,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(shared) AS BIGINT) AS total_shared "
             "FROM per_doc WHERE shared >= 2 GROUP BY probe_id"
         ),
+        "bpe_merges": _bpe_merges_oracle_sql(5),
         "repeated_line_removal": (
             "WITH d AS (SELECT doc_id, text || chr(10) || "
             "'ACCEPT COOKIES TO CONTINUE' || chr(10) || chr(10) || "

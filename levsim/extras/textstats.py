@@ -498,6 +498,7 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 50,
     max_vocab: int = 100_000,
+    with_counts: bool = False,
 ) -> list:
     """Byte-pair-encoding merge training (Sennrich et al. 2016, public) —
     the tokenizer-training loop, Spark-shaped: the ONLY corpus-sized pass
@@ -510,8 +511,10 @@ def train_bpe(
     Words are split into characters plus the standard ``</w>`` end-of-word
     marker; each step merges the (count DESC, pair ASC — deterministic)
     most frequent adjacent symbol pair, non-overlapping left-to-right.
-    Returns the ordered merge list [(left, right), ...]; stops early when
-    no pair occurs twice.
+    Returns the ordered merge list [(left, right), ...] — or
+    [(left, right, count), ...] with ``with_counts=True`` (count = the
+    weighted pair frequency at the step it won); stops early when no pair
+    occurs twice.
     """
     from pyspark.sql import functions as F
 
@@ -553,7 +556,7 @@ def train_bpe(
             key = tuple(out)
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
-        merges.append((a, b))
+        merges.append((a, b, best[1]) if with_counts else (a, b))
     return merges
 
 
