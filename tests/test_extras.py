@@ -987,3 +987,29 @@ def test_apply_bpe_reconstructs_and_compresses(spark):
     # 'newest' was trained: it must compress below its 7 char+marker symbols
     first_word_len = toks.index(next(t for t in toks if t.endswith("</w>"))) + 1
     assert first_word_len < 7
+
+
+def test_round4_ops_empty_input_edges(spark):
+    """Degenerate inputs must degrade gracefully, not crash: empty corpora,
+    whitespace-only and sub-window texts."""
+    from levsim.extras.dedup import dup_span_stats
+    from levsim.extras.textstats import (
+        apply_bpe, bigram_fluency_scores, ngram_overlap_counts, train_bpe,
+    )
+    from levsim.extras.webprep import remove_repeated_lines
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    tiny = spark.createDataFrame([(1, "  "), (2, "one")], "doc_id long, text string")
+
+    assert train_bpe(empty) == []
+    assert train_bpe(tiny) == []  # no pair reaches count 2
+    rows = {r["doc_id"]: r["bpe_tokens"]
+            for r in apply_bpe(tiny, []).collect()}
+    assert rows[2] == ["o", "n", "e", "</w>"] and rows[1] == []
+    assert ngram_overlap_counts(empty, tiny, n=3).count() == 0
+    assert ngram_overlap_counts(tiny, empty, n=3).count() == 0
+    assert bigram_fluency_scores(empty, tiny).count() == 0
+    assert bigram_fluency_scores(tiny, empty).count() == 0
+    assert dup_span_stats(tiny, window_tokens=3).count() == 0
+    out = {r["doc_id"]: r for r in remove_repeated_lines(tiny, min_docs=2).collect()}
+    assert out[1]["n_lines"] == 1 and out[1]["clean_text"] == "  "
