@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 from .. import blocking
 
@@ -642,7 +642,14 @@ def prefix_filtered_jaccard_pairs(
     # collect to cap+1 single-token rows whatever the true vocabulary size
     # (a broadcast dictionary, never row data).  Both paths compute the
     # identical (inter, uni, jacc).
-    if dense_vocab_cap > 0 and dense_docs_cap > 0:
+    # the dense path packs ids through an int64 ndarray, so it is only
+    # type-safe for integral id columns — string/decimal ids fall through to
+    # the sparse plan, which is id-type-generic (round-4 ADVICE)
+    id_type = sets.schema["doc_id"].dataType
+    id_is_integral = isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType)
+    )
+    if dense_vocab_cap > 0 and dense_docs_cap > 0 and id_is_integral:
         vrows = (
             toks.select("tok").distinct().limit(dense_vocab_cap + 1).collect()
         )
@@ -652,8 +659,9 @@ def prefix_filtered_jaccard_pairs(
                 vocab = sorted(r["tok"] for r in vrows)
                 dense = _dense_bitset_jaccard_pairs(sets, vocab, tn, td, n_docs)
                 return dense.select(
-                    "id_a",
-                    "id_b",
+                    # restore the caller's id dtype so both plans agree
+                    F.col("id_a").cast(id_type).alias("id_a"),
+                    F.col("id_b").cast(id_type).alias("id_b"),
                     "inter",
                     "uni",
                     F.round(

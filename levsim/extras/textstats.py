@@ -362,7 +362,12 @@ def bpe_first_merge_counts(
 ) -> DataFrame:
     """The first step of BPE tokenizer training (Sennrich et al. 2016):
     corpus-wide counts of adjacent character pairs inside words, weighted
-    by word frequency — the statistic whose argmax is the first merge.
+    by word frequency.  NOTE: this approximates the intra-word pair
+    statistic only — ``train_bpe`` appends a ``</w>`` end-of-word marker,
+    and pairs involving that marker (e.g. ``('t', '</w>')``) are not
+    enumerated here, so this table's argmax can differ from the trainer's
+    actual first merge when a marker pair dominates.  ``bpe_merges`` /
+    ``train_bpe`` are the exact path; this is the cheap columnar screen.
 
     Returns the ``top_k`` (pair, cnt) rows, count DESC then pair ASC
     (deterministic).  Scale shape: word-count aggregation first (the
@@ -590,7 +595,7 @@ def apply_bpe(
             got = cache.get(w)
             if got is None:
                 syms = list(w) + ["</w>"]
-                for a, b in mg:
+                for a, b, *_ in mg:
                     out = []
                     i = 0
                     while i < len(syms):

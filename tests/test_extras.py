@@ -590,6 +590,39 @@ def test_prefix_jaccard_dense_switch_and_jacc_parity(spark):
     assert "MapInPandas" not in routed._jdf.queryExecution().executedPlan().toString()
 
 
+def test_prefix_jaccard_dense_gate_preserves_id_types(spark):
+    """Round-4 ADVICE: the dense-bitset escape must not change the public
+    function's id-type behavior.  String ids in the dense regime route to
+    the sparse plan (no int64 coercion, no executor crash); integral
+    non-long ids keep their dtype on the dense plan's output."""
+    import random
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10)))
+             for _ in range(40)]
+    # string ids, some non-numeric: dense regime (tiny vocab) must fall
+    # through to the sparse plan and keep string ids end-to-end
+    sdf = spark.createDataFrame(
+        [(f"doc-{i:03d}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    out = dedup.prefix_filtered_jaccard_pairs(sdf, "doc_id", "text", threshold=0.5)
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    assert rows and all(isinstance(r.id_a, str) for r in rows)
+    assert dict(out.dtypes)["id_a"] == "string"
+    # int (32-bit) ids: dense plan fires and the output dtype matches input
+    idf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string")
+    dout = dedup.prefix_filtered_jaccard_pairs(idf, "doc_id", "text", threshold=0.5)
+    assert "MapInPandas" in dout._jdf.queryExecution().executedPlan().toString()
+    assert dict(dout.dtypes)["id_a"] == "int"
+    # values agree with the string-id run modulo the id mapping
+    want = {(int(r.id_a[4:]), int(r.id_b[4:]), r.inter, r.uni) for r in rows}
+    assert {(r.id_a, r.id_b, r.inter, r.uni) for r in dout.collect()} == want
+
+
 def test_prefix_jaccard_join_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
@@ -987,6 +1020,12 @@ def test_apply_bpe_reconstructs_and_compresses(spark):
     # 'newest' was trained: it must compress below its 7 char+marker symbols
     first_word_len = toks.index(next(t for t in toks if t.endswith("</w>"))) + 1
     assert first_word_len < 7
+    # round-4 ADVICE: with_counts=True 3-tuples must be accepted unchanged
+    merges3 = train_bpe(train, n_merges=10, with_counts=True)
+    assert all(len(m) == 3 for m in merges3)
+    rows3 = {r["doc_id"]: r["bpe_tokens"]
+             for r in apply_bpe(score, merges3).collect()}
+    assert rows3 == rows
 
 
 def test_round4_ops_empty_input_edges(spark):

@@ -114,3 +114,32 @@ def test_restart_interval_roundtrip():
     # markers really are in the stream (and stuffing didn't eat them)
     enc1 = jpeg.encode_jpeg(img, quality=90, restart_interval=1)
     assert any(bytes([0xFF, 0xD0 + k]) in enc1 for k in range(8))
+
+
+def test_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code; other encoders emit them, so the header walk must skip runs of
+    0xFF (round-4 ADVICE).  Inject fill bytes before every header marker of
+    a valid stream and require identical decode."""
+    rng = np.random.RandomState(7)
+    img = (rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8) // 4 + 96).astype(np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=90)
+    base = jpeg.decode_jpeg(enc)
+    # walk the header segments exactly as a writer would, inserting fill
+    # bytes before each marker up to (and including) SOS; entropy-coded
+    # data after SOS must stay untouched (0xFF there is stuffed/restart)
+    out = bytearray(enc[:2])
+    pos = 2
+    import struct as _s
+    while True:
+        assert enc[pos] == 0xFF
+        marker = enc[pos + 1]
+        out += b"\xff" * 3  # fill run
+        if marker == 0xDA:
+            out += enc[pos:]
+            break
+        size = _s.unpack_from(">H", enc, pos + 2)[0]
+        out += enc[pos:pos + 2 + size]
+        pos += 2 + size
+    got = jpeg.decode_jpeg(bytes(out))
+    assert (got == base).all()
