@@ -167,6 +167,32 @@ def _assign_cells(vals: list, cents: np.ndarray, n_cells: int) -> list:
     return out
 
 
+def _estimate_sample_recall(
+    sample: np.ndarray, cents: np.ndarray, nprobe: int, k: int = 10
+) -> float:
+    """Estimate IVF recall@k ON THE TRAINING SAMPLE: each sample vector acts
+    as a query against the sample-as-corpus; a true top-k neighbor is 'found'
+    iff its top-1 cell is among the query's ``nprobe`` probe cells.  O(s^2 *
+    dim) driver flops on the already-collected sample (s <= train_sample) —
+    one BLAS product, no extra Spark job.  Round-4 BASELINE measured this
+    estimate tracking real recall on the uniform-vector failure mode
+    (est 0.48 at dim=64/nlist=16/nprobe=3 vs measured 0.46-0.61), while
+    clustered corpora estimate >= 0.99."""
+    xn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cs = xn @ cents.T
+    cell1 = cs.argmax(axis=1)
+    probe = np.argsort(-cs, axis=1)[:, :nprobe]
+    sims = xn @ xn.T
+    np.fill_diagonal(sims, -np.inf)
+    kk = min(k, len(xn) - 1)
+    if kk <= 0:
+        return 1.0
+    topk = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    # vectorized membership: cell of each top-k neighbor in the row's probes
+    hit = (cell1[topk][:, :, None] == probe[:, None, :]).any(axis=2)
+    return float(hit.mean())
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,6 +204,8 @@ def ivf_topk(
     nprobe: int = 3,
     train_sample: int = 2048,
     round_decimals: int = 6,
+    min_sample_recall: float = 0.9,
+    on_low_recall: str = "warn",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest of ``nlist`` k-means centroids; each query probes only its
@@ -186,9 +214,22 @@ def ivf_topk(
     The scale path for 10^9+ vectors: per-query work drops by ~nlist/nprobe
     while recall stays high when clusters are balanced.  Centroids are
     trained driver-side on a deterministic sample (lowest ids) and shipped
-    as a broadcast-sized literal inside the assignment UDF."""
+    as a broadcast-sized literal inside the assignment UDF.
+
+    Guardrail (round-4 VERDICT #5): on structureless ("uniform") vector
+    data IVF recall collapses (BASELINE measured recall@10 0.46-0.61).
+    After training, recall@10 is estimated on the driver sample itself
+    (``_estimate_sample_recall`` — no extra Spark job, mirroring the
+    dense-escape probe pattern of dedup.py); if the estimate is below
+    ``min_sample_recall`` then ``on_low_recall`` decides: "warn" (default)
+    emits a UserWarning naming the estimate, "fallback" returns the exact
+    ``brute_force_topk`` plan instead, "ignore" proceeds silently."""
+    import warnings
+
     from pyspark.sql import Window
 
+    if on_low_recall not in ("warn", "fallback", "ignore"):
+        raise ValueError("on_low_recall must be 'warn', 'fallback' or 'ignore'")
     # deterministic UNBIASED sample: order by a hash of the id (TakeOrdered
     # top-K — no full sort), not by raw id (lowest-id bias at corpus scale)
     sample = np.array(
@@ -198,6 +239,21 @@ def ivf_topk(
         dtype=np.float64,
     )
     cents = _kmeans_centroids(sample, nlist)
+    if nprobe < nlist and on_low_recall != "ignore" and len(sample) > 1:
+        est = _estimate_sample_recall(sample, cents, nprobe, k=max(k, 10))
+        if est < min_sample_recall:
+            msg = (
+                f"ivf_topk: sample-estimated recall@{max(k, 10)} = {est:.3f} "
+                f"< {min_sample_recall} (nlist={nlist}, nprobe={nprobe}) — "
+                "the corpus looks structureless for IVF"
+            )
+            if on_low_recall == "fallback":
+                warnings.warn(msg + "; falling back to exact brute_force_topk")
+                return brute_force_topk(
+                    corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                    query_id_col=query_id_col,
+                )
+            warnings.warn(msg + "; raise nprobe or use lsh/brute")
 
     def assign_udf(n_cells: int):
         # one (m, dim) @ (dim, nlist) matrix product per Arrow batch (same

@@ -170,6 +170,60 @@ def test_ivf_topk_recall(spark):
     assert again == approx
 
 
+def test_ivf_uniform_guardrail(spark):
+    """Round-4 VERDICT #5: on structureless vectors (the measured IVF
+    failure mode, BASELINE recall@10 0.46-0.61) the sample-recall estimate
+    must trigger the guardrail — warn by default, exact-brute fallback on
+    request — while clustered input sails through silently."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim = 64
+    uni = rng.randn(300, dim)
+    centers = rng.randn(6, dim)
+    clu = centers[rng.randint(0, 6, 300)] + 0.15 * rng.randn(300, dim)
+
+    def dfs(base):
+        corpus = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(len(base))],
+            ["vec_id", "embedding"],
+        )
+        queries = spark.createDataFrame(
+            [(i, (base[i] + rng.randn(dim) * 0.05).tolist()) for i in range(6)],
+            ["query_id", "embedding"],
+        )
+        return corpus, queries
+
+    ucorpus, uqueries = dfs(uni)
+    ccorpus, cqueries = dfs(clu)
+    # uniform + warn (default): UserWarning naming the estimate
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        simsearch.ivf_topk(ucorpus, uqueries, k=2, nlist=16, nprobe=3)
+        assert any("sample-estimated recall" in str(w.message) for w in rec)
+    # uniform + fallback: result is EXACTLY the brute-force plan's output
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        fb = simsearch.ivf_topk(
+            ucorpus, uqueries, k=2, nlist=16, nprobe=3, on_low_recall="fallback")
+    brute = simsearch.brute_force_topk(ucorpus, uqueries, k=2)
+    assert sorted(map(tuple, fb.collect())) == sorted(map(tuple, brute.collect()))
+    # clustered: no warning, IVF plan runs, recall@1 is perfect
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        approx = simsearch.ivf_topk(
+            ccorpus, cqueries, k=1, nlist=8, nprobe=2, on_low_recall="fallback")
+        got = {r.query_id: r.neighbor_id for r in approx.collect()}
+        assert not [w for w in rec if "sample-estimated" in str(w.message)]
+    exact = {r.query_id: r.neighbor_id
+             for r in simsearch.brute_force_topk(ccorpus, cqueries, k=1).collect()}
+    assert got == exact
+    with pytest.raises(ValueError):
+        simsearch.ivf_topk(ccorpus, cqueries, on_low_recall="nope")
+
+
 def test_textstats(spark, docs):
     out = {r.doc_id: r for r in textstats.with_textstats(docs).collect()}
     assert out[1].n_tokens == 9
