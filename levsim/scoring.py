@@ -27,19 +27,29 @@ def attach_texts(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "norm_text",
+    with_char_hists: bool = False,
 ) -> DataFrame:
-    """pairs(id_a, id_b, ...) + docs(doc_id, text) -> pairs with text_a/text_b."""
-    a = docs.select(
+    """pairs(id_a, id_b, ...) + docs(doc_id, text) -> pairs with text_a/text_b.
+
+    ``with_char_hists`` additionally widens each side with the
+    ``prefilter.char_histogram`` count vector (hist_a/hist_b) feeding the
+    partial_ratio char bound — computed HERE, doc-side, because doc rows
+    are ~100x narrower than pair rows and each doc fans out to many pairs
+    (the same widen-before-join rule as len_a/len_b)."""
+    acols = [
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
         F.length(text_col).alias("len_a"),
-    )
-    b = docs.select(
+    ]
+    bcols = [
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
         F.length(text_col).alias("len_b"),
-    )
-    return pairs.join(a, "id_a").join(b, "id_b")
+    ]
+    if with_char_hists:
+        acols.append(prefilter.char_histogram(F.col(text_col)).alias("hist_a"))
+        bcols.append(prefilter.char_histogram(F.col(text_col)).alias("hist_b"))
+    return pairs.join(docs.select(*acols), "id_a").join(docs.select(*bcols), "id_b")
 
 
 def score_pairs(
@@ -48,9 +58,18 @@ def score_pairs(
     scorers: Sequence[str] = ("ratio",),
     sort_for_cache: bool = True,
     repartition: Optional[int] = None,
+    partial_tau: Optional[float] = None,
 ) -> DataFrame:
     """Add score columns; if tau is given, apply the exact length prefilter
     first (Catalyst-side) and the in-kernel cutoff inside the UDF.
+
+    ``partial_tau``: when scoring ``partial_ratio`` with a target threshold,
+    pass it here to apply the exact char-histogram bound
+    (``prefilter.partial_ratio_char_bound``) pre-UDF — partial_ratio has NO
+    length bound (any needle can sit verbatim in any long-enough haystack),
+    so this is its only Catalyst-side prune.  Uses hist_a/hist_b columns if
+    present (``attach_texts(with_char_hists=True)`` — the cheap, doc-side
+    place to compute them), else derives them inline on the pair rows.
 
     ``repartition``: pass a partition count ONLY when the upstream pair set
     is known to be narrow (e.g. a single-file scan broadcast-joined, which
@@ -63,6 +82,13 @@ def score_pairs(
     df = pairs_with_text
     if tau is not None:
         df = df.where(prefilter.ratio_length_bound(F.col("len_a"), F.col("len_b"), tau))
+    if partial_tau is not None:
+        ha = (F.col("hist_a") if "hist_a" in df.columns
+              else prefilter.char_histogram(F.col("text_a")))
+        hb = (F.col("hist_b") if "hist_b" in df.columns
+              else prefilter.char_histogram(F.col("text_b")))
+        df = df.where(prefilter.partial_ratio_char_bound(
+            ha, hb, F.col("len_a"), F.col("len_b"), partial_tau))
     if repartition:
         # hash on id_a keeps one-side-cache adjacency after the sort
         df = df.repartition(repartition, "id_a")

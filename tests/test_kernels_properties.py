@@ -327,3 +327,95 @@ def test_partial_ratio_is_window_max(a, b):
     # partial_ratio dominates plain ratio on equal-length inputs
     if len(a) == len(b):
         assert K.partial_ratio(a, b) >= K.ratio(a, b)
+
+
+# --- fuzz-family prefilter exactness (round-4 VERDICT #7) -------------------
+# The Column predicates in levsim.prefilter are pure algebra over lengths /
+# histograms; these properties fuzz the SAME formulas in Python against the
+# true kernel scores: a bound that under-estimates even once would let the
+# Catalyst prefilter prune a qualifying pair.  (Column-expr == formula
+# agreement + plan position are asserted in test_plan_pushdown.py.)
+
+import re as _re
+
+CHAR_BOUND_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _norm(s: str) -> str:
+    return _re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _token_set_parts(a: str, b: str):
+    ta = sorted(set(t for t in _norm(a).split(" ") if t))
+    tb = sorted(set(t for t in _norm(b).split(" ") if t))
+    sect = " ".join(t for t in ta if t in tb)
+    comb_a = (sect + " " + " ".join(t for t in ta if t not in tb)).strip()
+    comb_b = (sect + " " + " ".join(t for t in tb if t not in ta)).strip()
+    return sect, comb_a, comb_b
+
+
+def _token_set_bound(ls: int, lca: int, lcb: int) -> float:
+    v1 = 1.0 if ls + lca == 0 else 2.0 * ls / (ls + lca)
+    v2 = 1.0 if ls + lcb == 0 else 2.0 * ls / (ls + lcb)
+    v3 = 1.0 if lca + lcb == 0 else 2.0 * min(lca, lcb) / (lca + lcb)
+    return max(v1, v2, v3)
+
+
+word_texts = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=5), min_size=0, max_size=8
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(word_texts, word_texts)
+def test_token_set_bound_is_exact_upper_bound(a, b):
+    sect, ca, cb = _token_set_parts(a, b)
+    true = max(K.ratio(sect, ca), K.ratio(sect, cb), K.ratio(ca, cb))
+    ub = _token_set_bound(len(sect), len(ca), len(cb))
+    assert ub >= true - 1e-12
+    # the first two variants are closed forms, so whenever they dominate
+    # the third's LENGTH BOUND the overall bound is exactly the true score
+    v1 = 1.0 if len(sect) + len(ca) == 0 else 2.0 * len(sect) / (len(sect) + len(ca))
+    v2 = 1.0 if len(sect) + len(cb) == 0 else 2.0 * len(sect) / (len(sect) + len(cb))
+    v3 = (1.0 if len(ca) + len(cb) == 0
+          else 2.0 * min(len(ca), len(cb)) / (len(ca) + len(cb)))
+    if max(v1, v2) >= v3:
+        assert abs(ub - true) < 1e-12
+
+
+@settings(max_examples=300, deadline=None)
+@given(word_texts, word_texts)
+def test_token_sort_bound_is_exact_upper_bound(a, b):
+    sa = " ".join(sorted(_norm(a).split(" "))) if _norm(a) else ""
+    sb = " ".join(sorted(_norm(b).split(" "))) if _norm(b) else ""
+    true = K.ratio(sa, sb)
+    lensum = len(sa) + len(sb)
+    ub = 1.0 if lensum == 0 else 2.0 * min(len(sa), len(sb)) / lensum
+    assert ub >= true - 1e-12
+
+
+def _char_hist(s: str):
+    h = [s.count(c) for c in CHAR_BOUND_ALPHABET]
+    h.append(len(s) - sum(h))
+    return h
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts, texts)
+def test_partial_ratio_char_bound_is_exact_upper_bound(a, b):
+    m = min(len(a), len(b))
+    if m == 0:
+        return  # predicate keeps empty-needle pairs unconditionally
+    cbk = sum(min(x, y) for x, y in zip(_char_hist(a), _char_hist(b)))
+    ub = min(m, cbk) / m
+    assert ub >= K.partial_ratio(a, b) - 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_texts, st.text(alphabet="abcd", min_size=0, max_size=30))
+def test_partial_ratio_has_no_length_bound(needle, pad):
+    """Documents WHY partial_ratio gets a char bound instead of a length
+    bound: embedding the needle verbatim in an arbitrarily longer haystack
+    scores 1.0, so no predicate over (len_a, len_b) alone can ever prune."""
+    hay = pad + needle + pad
+    assert K.partial_ratio(needle, hay) == 1.0

@@ -127,3 +127,66 @@ def test_snm_plan_shape(spark, pages_path):
     for line in plan.splitlines():
         if "Window " in line or line.strip().startswith("Window"):
             assert "partitionBy" not in line or "[]" not in line.split("partitionBy")[-1][:6]
+
+
+def test_fuzz_prefilters_are_pre_udf_predicates(spark, pages_path):
+    """Round-4 VERDICT #7: the partial_ratio char bound and token_set
+    length bound must sit as Catalyst Filters BEFORE the Arrow scoring
+    stage, and the Column predicates must agree row-for-row with the
+    pure-Python bound formulas the property tests verified."""
+    from pyspark.sql import functions as F
+
+    from levsim import normalize, prefilter
+    from levsim.scoring import attach_texts, score_pairs
+
+    d = spark.read.parquet(pages_path).select(
+        F.col("url").alias("doc_id"), normalize.norm_text("text").alias("norm_text"),
+        "lang",
+    )
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"), "lang")
+        .join(d.select(F.col("doc_id").alias("id_b"), "lang"), "lang")
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("lang")
+    )
+    pt = attach_texts(pairs, d, with_char_hists=True)
+    scored = score_pairs(pt, scorers=("partial_ratio",), partial_tau=0.9)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # exactly one Python stage (the scorer); the filter must NOT be above it
+    assert plan.count("ArrowEvalPython") == 1
+    arrow_pos = plan.index("ArrowEvalPython")
+    # plan strings render top-down (consumer first): the Filter node must
+    # appear BELOW (= after in text) the Arrow node it feeds
+    assert "Filter" in plan[arrow_pos:], plan[:arrow_pos]
+    # Column predicate == Python formula, row for row
+    rows = pt.select("text_a", "text_b",
+                     prefilter.partial_ratio_char_bound(
+                         F.col("hist_a"), F.col("hist_b"),
+                         F.col("len_a"), F.col("len_b"), 0.9).alias("keep")
+                     ).collect()
+    A = prefilter.CHAR_BOUND_ALPHABET
+
+    def hist(s):
+        h = [s.count(c) for c in A]
+        return h + [len(s) - sum(h)]
+
+    for r in rows:
+        m = min(len(r.text_a), len(r.text_b))
+        cbk = sum(min(x, y) for x, y in zip(hist(r.text_a), hist(r.text_b)))
+        want = True if m == 0 else (min(m, cbk) >= 0.9 * m)
+        assert r.keep == want, (r.text_a[:20], r.text_b[:20])
+
+    # token_set bound: pure Catalyst (no Python node at all) and agrees
+    # with the formula on the variant-string lengths
+    ts = normalize.token_set_strings(F.col("text_a"), F.col("text_b"))
+    bounded = pt.select(
+        F.length(ts["sect"]).alias("ls"), F.length(ts["comb_a"]).alias("lca"),
+        F.length(ts["comb_b"]).alias("lcb"),
+    ).withColumn("keep", prefilter.token_set_length_bound(
+        F.col("ls"), F.col("lca"), F.col("lcb"), 0.9))
+    assert "ArrowEvalPython" not in bounded._jdf.queryExecution().executedPlan().toString()
+    for r in bounded.collect():
+        v1 = 1.0 if r.ls + r.lca == 0 else 2.0 * r.ls / (r.ls + r.lca)
+        v2 = 1.0 if r.ls + r.lcb == 0 else 2.0 * r.ls / (r.ls + r.lcb)
+        v3 = 1.0 if r.lca + r.lcb == 0 else 2.0 * min(r.lca, r.lcb) / (r.lca + r.lcb)
+        assert r.keep == (max(v1, v2, v3) >= 0.9), (r.ls, r.lca, r.lcb)
