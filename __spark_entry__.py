@@ -870,8 +870,13 @@ def q_multimodal_roundtrip(spark, sf_dir):
              s_lo=sum(row 0 of frame 0), s_hi=sum(channel 0)
       jpeg:  16x16 flat grayscale at quality 90 (the DC-only analytic
              case): n1=n2=16, sums as for image over the decoded RGB
+      png (round 5, doc_id 60-74): LOSSLESS pure-Python codec
+             (levsim/extras/png.py) — even ids RGB (adaptive per-row
+             filters), odd ids grayscale (decode_png_rgb replicates to 3
+             channels, so the oracle's sums carry a factor 3); stats as
+             for image over the decoded RGB
     """
-    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 60)
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 75)
 
     def fn(batches):
         import numpy as np
@@ -882,6 +887,23 @@ def q_multimodal_roundtrip(spark, sf_dir):
             recs = []
             for i in pdf["doc_id"].astype("int64"):
                 i = int(i)
+                if i >= 60:
+                    # PNG arm: lossless codec, decoded == formula pixels
+                    from levsim.extras.png import decode_png_rgb, encode_png
+
+                    h, w = 6 + i % 4, 5 + i % 5
+                    y = np.arange(h)[:, None, None]
+                    x = np.arange(w)[None, :, None]
+                    if i % 2 == 0:
+                        c = np.arange(3)[None, None, :]
+                        px = ((i * 23 + 11 * y + 3 * x + 7 * c) % 256).astype(np.uint8)
+                    else:
+                        px = ((i * 23 + 11 * y + 3 * x) % 256).astype(np.uint8)[:, :, 0]
+                    dec = decode_png_rgb(encode_png(px)).astype(np.int64)
+                    recs.append((i, "png", h, w, int(dec.sum()),
+                                 int(dec[0].sum()), int(dec[:, 0].sum()),
+                                 int(dec[:, :, 0].sum())))
+                    continue
                 kind = i % 4
                 if kind == 0:
                     h, w = 8 + i % 5, 6 + i % 7
@@ -2173,7 +2195,58 @@ def _multimodal_oracle_sql() -> str:
         " * 3 / 8.0 + 0.5) AS BIGINT) + 128)) AS e "
         "FROM documents WHERE doc_id < 60 AND doc_id % 4 = 3)"
     )
-    return img + " UNION ALL " + aud + " UNION ALL " + vid + " UNION ALL " + jpg
+    # PNG arm (round 5, doc_id 60-74): lossless codec, so decoded pixels
+    # equal the formula directly; odd ids are grayscale replicated to RGB
+    # by decode_png_rgb (factor 3 on all-but-channel-0 sums)
+    png_pix = "(doc_id*23 + 11*y + 3*x + 7*c) % 256"
+    gray_pix = "(doc_id*23 + 11*y + 3*x) % 256"
+    png_rgb = (
+        "SELECT doc_id, 'png' AS kind, CAST(h AS BIGINT) AS n1, "
+        "CAST(w AS BIGINT) AS n2, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, h-1), y -> "
+            "flatten(list_transform(generate_series(0, w-1), x -> "
+            f"list_transform({C}, c -> {png_pix})))))"
+        )
+        + " AS s_all, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, w-1), x -> "
+            f"list_transform({C}, c -> (doc_id*23 + 3*x + 7*c) % 256)))"
+        )
+        + " AS s_head, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, h-1), y -> "
+            f"list_transform({C}, c -> (doc_id*23 + 11*y + 7*c) % 256)))"
+        )
+        + " AS s_lo, "
+        + tsum(
+            "flatten(list_transform(generate_series(0, h-1), y -> "
+            "list_transform(generate_series(0, w-1), x -> "
+            "(doc_id*23 + 11*y + 3*x) % 256)))"
+        )
+        + " AS s_hi "
+        "FROM (SELECT doc_id, 6 + doc_id % 4 AS h, 5 + doc_id % 5 AS w "
+        "FROM documents WHERE doc_id >= 60 AND doc_id < 75 AND doc_id % 2 = 0)"
+    )
+    gsum = (
+        "list_sum(flatten(list_transform(generate_series(0, h-1), y -> "
+        "list_transform(generate_series(0, w-1), x -> "
+        f"{gray_pix}))))"
+    )
+    png_gray = (
+        "SELECT doc_id, 'png' AS kind, CAST(h AS BIGINT) AS n1, "
+        "CAST(w AS BIGINT) AS n2, "
+        f"CAST(3 * {gsum} AS BIGINT) AS s_all, "
+        "CAST(3 * list_sum(list_transform(generate_series(0, w-1), x -> "
+        "(doc_id*23 + 3*x) % 256)) AS BIGINT) AS s_head, "
+        "CAST(3 * list_sum(list_transform(generate_series(0, h-1), y -> "
+        "(doc_id*23 + 11*y) % 256)) AS BIGINT) AS s_lo, "
+        f"CAST({gsum} AS BIGINT) AS s_hi "
+        "FROM (SELECT doc_id, 6 + doc_id % 4 AS h, 5 + doc_id % 5 AS w "
+        "FROM documents WHERE doc_id >= 60 AND doc_id < 75 AND doc_id % 2 = 1)"
+    )
+    return (img + " UNION ALL " + aud + " UNION ALL " + vid + " UNION ALL "
+            + jpg + " UNION ALL " + png_rgb + " UNION ALL " + png_gray)
 
 
 def _simhash_md5_sql(max_hamming: int = 3, n_bits: int = 32) -> str:

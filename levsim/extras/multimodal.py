@@ -344,23 +344,30 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """FEATURE_DIM feature vector for an encoded image payload.
 
-    Real paths: 24-bit BMP payloads via the pure-NumPy codec above, and
+    Real paths: 24-bit BMP payloads via the pure-NumPy codec above,
     baseline JPEG payloads via the pure-NumPy T.81 decoder in
-    :mod:`levsim.extras.jpeg` — both featurized from actual pixels.  Other
-    formats (png/webp/...) need image libs absent from this container:
-    pass ``fake=True`` for the deterministic content-derived test double,
-    else NotImplementedError."""
+    :mod:`levsim.extras.jpeg`, and 8-bit PNG payloads (gray / gray+alpha /
+    RGB / RGBA, all five scanline filters) via the pure-Python codec in
+    :mod:`levsim.extras.png` — all featurized from actual pixels.  The
+    remaining formats (webp/...) need image libs absent from this
+    container: pass ``fake=True`` for the deterministic content-derived
+    test double, else NotImplementedError."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         return image_features(decode_bmp(payload))
     if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         return image_features(decode_jpeg(payload))
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png_rgb
+
+        return image_features(decode_png_rgb(payload))
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "non-BMP/JPEG image decoding requires an image library not present "
-        "in this environment; pass fake=True for the deterministic test double"
+        "non-BMP/JPEG/PNG image decoding requires an image library not "
+        "present in this environment; pass fake=True for the deterministic "
+        "test double"
     )
 
 
@@ -461,9 +468,10 @@ def sample_frames(video: DataFrame, every_ms: int = 1000,
 
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic media table for tests: REAL payloads for all three
-    kinds (BMP images, PCM WAV audio, uncompressed AVI video — every codec
-    decodes for real, no fake flag anywhere)."""
+    kinds (BMP/JPEG/PNG images, PCM WAV audio, uncompressed AVI video —
+    every codec decodes for real, no fake flag anywhere)."""
     from .jpeg import encode_jpeg
+    from .png import encode_png
 
     rng = np.random.RandomState(seed)
     rows = []
@@ -472,11 +480,15 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             px = rng.randint(0, 256, size=(8 + i % 5, 6 + i % 7, 3), dtype=np.uint8)
-            if i % 6 == 0:
-                # every other image row is a REAL baseline JPEG, so the
-                # decode_image FFD8 sniff path runs through extract_features
+            if i % 9 == 0:
+                # image rows rotate through all three real compressed/
+                # container codecs, so every decode_image sniff branch
+                # (FFD8 / \x89PNG / BM) runs through extract_features
                 payload = encode_jpeg(px, quality=95)
                 mime = "image/jpeg"
+            elif i % 9 == 3:
+                payload = encode_png(px)
+                mime = "image/png"
             else:
                 payload = encode_bmp(px)
                 mime = "image/bmp"
