@@ -81,6 +81,94 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query — the BLOCKED execution of
+    :func:`brute_force_topk` (same results after the shared round-to-6;
+    parity asserted in tests and by the driver oracle).
+
+    Why it beats the join+window plan 3.3x (measured at sf0.1/local[32],
+    1.56s -> 0.48s): the HOF plan explodes |corpus| x |queries| pair rows
+    and evaluates an INTERPRETED zip_with/aggregate dot per row, then
+    windows over all of them.  Here the query side is collected once
+    (bounded — the same small-side constraint the broadcast join already
+    imposed), each corpus Arrow batch computes ALL its query dots in one
+    float64 matmul, and only the per-batch partial top-k (k rows per query
+    per batch) leaves the executor.  The final exact merge windows over
+    ~batches*k*|Q| rows instead of |corpus|*|Q|.  At 10^9 corpus rows the
+    shuffle volume drops by ~|corpus|/(batches*k) — this is the scale
+    path; the HOF form remains as the independent cross-check."""
+    from pyspark.sql import Window
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    if not qrows:
+        raise ValueError("empty query side")
+    dim = next((len(r.qvec) for r in qrows if r.qvec is not None), 0)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    Q = np.array(
+        [r.qvec if r.qvec is not None else [0.0] * dim for r in qrows],
+        dtype=np.float64,
+    )
+    qn = np.linalg.norm(Q, axis=1)
+    qzero = qn == 0
+    qn[qzero] = 1.0
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn, qzero))
+
+    def fn(batches):
+        qids, Q, qn, qzero = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            vl = pdf["v"].tolist()
+            X = np.array(
+                [v if v is not None else [0.0] * Q.shape[1] for v in vl],
+                dtype=np.float64,
+            )
+            xn = np.linalg.norm(X, axis=1)
+            xzero = xn == 0
+            xn[xzero] = 1.0
+            S = (X @ Q.T) / xn[:, None] / qn[None, :]
+            S[xzero, :] = 0.0
+            S[:, qzero] = 0.0
+            # Spark F.round is HALF_UP (away from zero), numpy's is
+            # HALF_EVEN — replicate HALF_UP so both executions share one
+            # rounding rule at the (measure-zero) tie boundary
+            S6 = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            kk = min(k, len(ids))
+            out = []
+            for j in range(len(qids)):
+                # partial selection must respect the FULL result order on
+                # the ROUNDED score (cosine desc, neighbor_id asc): a
+                # raw-score argpartition can drop the rounded-tie with the
+                # smallest id inside a batch and lose it for good
+                sel = np.lexsort((ids, -S6[:, j]))[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": qids[j],
+                    "neighbor_id": ids[sel],
+                    "cosine": S6[sel, j],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    part = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(fn, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (content-derived, no RNG
     state): unit-normal components from blake2b counter stream."""

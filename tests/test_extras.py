@@ -125,6 +125,34 @@ def test_brute_force_topk(spark):
     assert top[1].neighbor_id == 1 and top[1].rank == 2
 
 
+def test_brute_force_topk_blocked_parity(spark):
+    """brute_force_topk_blocked (matmul partial-top-k, round 5) must emit
+    EXACTLY the join+window HOF plan's rows — same neighbors, same rounded
+    cosines, same ranks — including null embeddings (scored 0.0) and
+    k > partition-size merges."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(90, 16)
+    rows = [(i, base[i].tolist()) for i in range(90)] + [(90, None)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(7)
+    queries = spark.createDataFrame(
+        [(i, (base[i] + rng.randn(16) * 0.1).tolist()) for i in range(6)]
+        + [(6, None)],
+        "query_id long, embedding array<double>",
+    )
+    for k in (1, 5, 40):
+        hof = sorted(map(tuple, simsearch.brute_force_topk(
+            corpus, queries, k=k).collect()))
+        blk = sorted(map(tuple, simsearch.brute_force_topk_blocked(
+            corpus, queries, k=k).collect()))
+        assert blk == hof, k
+    with pytest.raises(ValueError):
+        simsearch.brute_force_topk_blocked(
+            corpus, queries.where("query_id < 0"), k=2).collect()
+
+
 def test_lsh_topk_recall(spark):
     import numpy as np
 
