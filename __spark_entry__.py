@@ -1150,6 +1150,63 @@ def _bpe_apply_oracle_sql(k: int = 5) -> str:
     )
 
 
+def q_html_text_extract(spark, sf_dir):
+    """Visible-text extraction from HTML (webprep.html_to_text, round 5)
+    hard-oracled: each doc's text is wrapped into a deterministic HTML page
+    — comments, a style element, a script whose body contains a raw '<'
+    and a quoted '</div>' (the classic naive-stripper traps), nested
+    entities (&amp;amp;), and attribute-laden tags — IN BOTH ENGINES, and
+    the extraction chain (comment/script/style element removal, tag
+    stripping, ordered entity decode with &amp; last, whitespace collapse)
+    is mirrored regexp-for-regexp, replace-for-replace in DuckDB (RE2 ==
+    Java semantics for every pattern used; script/style are separate
+    passes because RE2 has no backrefs)."""
+    from levsim.extras.webprep import html_to_text
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><!-- id "), F.col("doc_id").cast("string"),
+        F.lit(' --><head><title>T</title><style type="text/css">p { color: red }'
+              '</style><script>if (1<2) { var s = "</div>"; }</script></head>'
+              '<body><h1 class="big">'),
+        F.substring("text", 1, 30),
+        F.lit("</h1><p>"),
+        F.substring("text", 31, 80),
+        F.lit(" &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p>"
+              "<br/></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_to_text(html).alias("vis_text"),
+    ).withColumn("n_chars", F.length("vis_text").cast("long"))
+
+
+def _html_extract_oracle_sql() -> str:
+    """The byte-identical DuckDB chain for q_html_text_extract."""
+    html = (
+        "'<html><!-- id ' || CAST(doc_id AS VARCHAR) || "
+        "' --><head><title>T</title><style type=\"text/css\">p { color: red }"
+        "</style><script>if (1<2) { var s = \"</div>\"; }</script></head>"
+        "<body><h1 class=\"big\">' || substr(text, 1, 30) || '</h1><p>' || "
+        "substr(text, 31, 80) || "
+        "' &amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p>"
+        "<br/></body></html>'"
+    )
+    s = html
+    for pat in (r"(?s)<!--.*?-->", r"(?is)<script\b.*?</script\s*>",
+                r"(?is)<style\b.*?</style\s*>", r"(?s)<[^>]*>"):
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "''"), ("&apos;", "''"),
+                     ("&amp;", "&")):
+        s = f"replace({s}, '{ent}', '{rep}')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return (
+        f"SELECT doc_id, {s} AS vis_text, CAST(length({s}) AS BIGINT) AS n_chars "
+        "FROM documents WHERE doc_id < 300"
+    )
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -1815,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
+        "html_text_extract": q_html_text_extract,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -3090,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_merges": _bpe_merges_oracle_sql(5),
         "bpe_apply": _bpe_apply_oracle_sql(5),
+        "html_text_extract": _html_extract_oracle_sql(),
         "repeated_line_removal": (
             "WITH d AS (SELECT doc_id, text || chr(10) || "
             "'ACCEPT COOKIES TO CONTINUE' || chr(10) || chr(10) || "

@@ -38,6 +38,62 @@ def _c(col) -> Column:
     return col if isinstance(col, Column) else F.col(col)
 
 
+#: named HTML entities decoded by html_to_text, applied IN THIS ORDER —
+#: &amp; must come LAST so double-escaped text ("&amp;lt;") decodes to the
+#: literal "&lt;" exactly once, the standard single-pass rule.
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+# RE2-compatible (and Java-regex-identical) patterns; script/style need
+# SEPARATE passes because RE2 has no backreferences (<(script|style)>...</\1>
+# is not expressible) — the oracle must run the byte-identical chain.
+_RE_HTML_COMMENT = r"(?s)<!--.*?-->"
+_RE_HTML_SCRIPT = r"(?is)<script\b.*?</script\s*>"
+_RE_HTML_STYLE = r"(?is)<style\b.*?</style\s*>"
+_RE_HTML_TAG = r"(?s)<[^>]*>"
+
+
+def html_to_text(col) -> Column:
+    """Visible-text extraction from an HTML string column — the standard
+    web-pipeline "strip boilerplate markup" step, as one pure-column
+    regexp/replace chain (JVM codegen, no Python):
+
+    1. drop comments ``<!-- ... -->`` (non-greedy, dotall);
+    2. drop ``<script>``/``<style>`` ELEMENTS including their content —
+       code and CSS are not text, and script bodies may contain raw ``<``
+       that would desynchronize naive tag stripping (covered in tests);
+    3. replace every remaining tag ``<[^>]*>`` with a space (block/inline
+       distinction is deliberately out of scope — the downstream
+       ``norm_text`` collapses whitespace anyway);
+    4. decode the common named entities (``HTML_ENTITIES`` order,
+       ``&amp;`` last); numeric character references are OUT OF SCOPE
+       (documented: decoding ``&#x2603;`` needs per-match code arithmetic
+       that neither engine's regexp_replace can express — a mapInPandas
+       pass is the escape hatch when a corpus needs it);
+    5. collapse whitespace runs and trim.
+
+    Binary html columns: pass ``F.decode(col, 'UTF-8')``.  The synthetic
+    pages table keeps its exact inverse (``tables.extract_text_from_html``)
+    for the byte-identical-text pipeline invariant; this is the general
+    operator for real crawl HTML.
+    """
+    s = _c(col)
+    s = F.regexp_replace(s, _RE_HTML_COMMENT, " ")
+    s = F.regexp_replace(s, _RE_HTML_SCRIPT, " ")
+    s = F.regexp_replace(s, _RE_HTML_STYLE, " ")
+    s = F.regexp_replace(s, _RE_HTML_TAG, " ")
+    for ent, rep in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def canonical_url(col) -> Column:
     """Canonical form of an absolute http(s) URL, as one pure-column chain:
 

@@ -770,6 +770,41 @@ def test_ngram_repetition_counts(spark):
     assert got[0] == (5, 2, 3) and got[4] == (3, 1, 3) and got[3] == (0, 0, 0)
 
 
+def test_html_to_text(spark):
+    """Visible-text extraction traps: script bodies with raw '<' and quoted
+    closing tags, style content, comments, attribute-laden tags, ordered
+    entity decoding (&amp; last => double-escapes decode exactly once),
+    and the binary-column decode path."""
+    from levsim.extras.webprep import html_to_text
+
+    cases = [
+        # (html, expected visible text)
+        ("<html><body><p>hello <b>world</b></p></body></html>", "hello world"),
+        # script element with raw '<' and a quoted '</div>' inside
+        ('<script>if (1<2) { var s = "</div>"; }</script>after', "after"),
+        ("<style>p { color: red }</style>styled", "styled"),
+        ("<!-- secret\nmultiline -->shown", "shown"),
+        ('<a href="http://x.com?a=1&amp;b=2" title="t">link</a>', "link"),
+        # entity order: &amp;lt; must become the LITERAL '&lt;', not '<'
+        ("&amp;lt;tag&amp;gt; &lt;real&gt; &quot;q&quot; &#39;s&#39;",
+         "&lt;tag&gt; <real> \"q\" 's'"),
+        ("a&nbsp;&nbsp;b", "a b"),
+        ("  spaced\t\n  out  ", "spaced out"),
+        ("<SCRIPT>x</SCRIPT>case<STYLE>y</STYLE>", "case"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string")
+    got = {r.i: r.t for r in df.select("i", html_to_text("html").alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+    # binary html column via F.decode
+    bdf = spark.createDataFrame(
+        [(1, "<body><p>bin&nbsp;text</p></body>".encode())], "i long, html binary")
+    out = bdf.select(html_to_text(F.decode("html", "UTF-8")).alias("t")).collect()
+    assert out[0].t == "bin text"
+
+
 def test_canonical_url(spark):
     from levsim.extras.webprep import canonical_url
 
