@@ -1207,6 +1207,45 @@ def _html_extract_oracle_sql() -> str:
     )
 
 
+def q_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing fingerprint dedup (Schleimer et al. 2003, round 5)
+    hard-oracled end to end: word 3-grams -> md5-basis 60-bit hashes ->
+    min of each 4-hash window -> distinct fingerprints -> fp-equi-join
+    pair counts.  The oracle recomputes every stage in SQL (the same
+    _MD5_HASH15 construction as the minhash/kmv oracles), so a wrong gram
+    boundary, window min, distinct step or join predicate shifts pair
+    counts and breaks the hash.  Recall guarantee under test: shared token
+    spans >= w + k - 1 = 6 always share a fingerprint."""
+    from levsim.extras.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, w=4, min_shared=2
+    )
+
+
+def _winnow_oracle_sql(k: int = 3, w: int = 4, min_shared: int = 2) -> str:
+    h = _MD5_HASH15.format(t="'w:' || g")
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t != '') AS tk FROM documents), "
+        f"g AS (SELECT doc_id, CASE WHEN len(tk) >= {k} THEN "
+        f"list_transform(generate_series(1, len(tk) - {k - 1}), i -> "
+        f"array_to_string(list_slice(tk, i, i + {k - 1}), ' ')) "
+        "ELSE CAST([] AS VARCHAR[]) END AS gr FROM d), "
+        f"h AS (SELECT doc_id, list_transform(gr, g -> {h}) AS hs FROM g), "
+        f"f AS (SELECT doc_id, CASE WHEN len(hs) >= {w} THEN "
+        f"list_transform(generate_series(1, len(hs) - {w - 1}), j -> "
+        f"list_min(list_slice(hs, j, j + {w - 1}))) "
+        "WHEN len(hs) > 0 THEN [list_min(hs)] "
+        "ELSE CAST([] AS BIGINT[]) END AS fps FROM h), "
+        "u AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS shared_fps "
+        "FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -1873,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
         "html_text_extract": q_html_text_extract,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -3149,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle_sql(5),
         "bpe_apply": _bpe_apply_oracle_sql(5),
         "html_text_extract": _html_extract_oracle_sql(),
+        "winnow_dup_pairs": _winnow_oracle_sql(3, 4, 2),
         "repeated_line_removal": (
             "WITH d AS (SELECT doc_id, text || chr(10) || "
             "'ACCEPT COOKIES TO CONTINUE' || chr(10) || chr(10) || "

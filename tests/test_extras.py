@@ -711,6 +711,68 @@ def test_prefix_jaccard_join_threshold_validation(spark):
         dedup.prefix_filtered_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
 
 
+def test_winnowing_guarantee_and_shapes(spark):
+    """The winnowing theorem, exercised: any pair of docs sharing a token
+    span of length >= w + k - 1 MUST share a fingerprint (recall 1.0 at
+    min_shared=1).  Plus: xxhash and md5 bases select the same COUNT
+    structure on identical text (fingerprint sets differ, pair sets from
+    identical docs don't), short-doc edges, and the stop-key cap."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"tok{i}" for i in range(200)]
+    k, w = 3, 4
+    span_len = w + k - 1  # 6 tokens guarantees a shared fingerprint
+    shared_span = [rng.choice(vocab) for _ in range(span_len)]
+    rows = []
+    planted = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if i % 3 == 0 and i >= 3:
+            # plant the shared span at a random offset in every 3rd doc
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + shared_span + words[pos:]
+            planted.append(i)
+        rows.append((i, " ".join(words)))
+    # two exact empty/short edges
+    rows.append((100, ""))
+    rows.append((101, "one two"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.winnow_dup_pairs(df, k=k, w=w, min_shared=1).collect()}
+    for a in planted:
+        for b in planted:
+            if a < b:
+                assert (a, b) in pairs, (a, b)
+    # docs with fewer than k tokens have NO k-grams, hence no fingerprints
+    # (defined semantics — tiny exact dups are exact_dup_groups' job); docs
+    # with >= k tokens but fewer than w gram hashes get one global-min fp
+    df2 = spark.createDataFrame(
+        [(1, "just two"), (2, "just two"), (3, "three token doc"),
+         (4, "three token doc")], "doc_id long, text string")
+    p2 = dedup.winnow_dup_pairs(df2, k=k, w=w).collect()
+    assert [(r.id_a, r.id_b, r.shared_fps) for r in p2] == [(3, 4, 1)]
+    # empty docs yield no fingerprints at all
+    assert dedup.winnow_fingerprints(
+        spark.createDataFrame([(1, "")], "doc_id long, text string")).count() == 0
+    # xxhash production basis: same pair set on this corpus
+    px = {(r.id_a, r.id_b)
+          for r in dedup.winnow_dup_pairs(df, k=k, w=w, min_shared=1,
+                                          use_xxhash=True).collect()}
+    for a in planted:
+        for b in planted:
+            if a < b:
+                assert (a, b) in px
+    # stop-key cap: dropping fps shared by ALL planted docs removes those pairs
+    capped = {(r.id_a, r.id_b)
+              for r in dedup.winnow_dup_pairs(df, k=k, w=w, min_shared=1,
+                                              max_fp_docs=2).collect()}
+    assert not any((a, b) in capped for a in planted for b in planted
+                   if a < b and len(planted) > 3) or len(planted) <= 2
+    with pytest.raises(ValueError):
+        dedup.winnow_fingerprints(df, k=0)
+
+
 def test_sparse_token_cosine_matches_dense(spark):
     """Sparse (token-join) cosine == dense NumPy cosine; disjoint-vocab
     pairs keep dot=0; zero-token sides are dropped."""
