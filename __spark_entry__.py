@@ -1246,6 +1246,59 @@ def _winnow_oracle_sql(k: int = 3, w: int = 4, min_shared: int = 2) -> str:
     )
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Cross-document exact-substring dedup (Lee et al. 2022 ExactSubstr,
+    round 5): spans >= 8 tokens occurring elsewhere in the corpus are cut,
+    keeping the globally-first (min doc_id, pos) occurrence.  The oracle
+    replays the whole pipeline in SQL — gram hashes, canonical-occurrence
+    election, coverage expansion, positional token filter — so a wrong
+    gram boundary, canonical tie-break, or off-by-one in span coverage
+    changes clean_text and breaks the value hash."""
+    from levsim.extras.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), "doc_id", "text",
+                                  span_tokens=8)
+
+
+def _dup_span_removal_oracle_sql(L: int = 8) -> str:
+    # NOTE: the gram strings are built in their OWN list_transform before
+    # hashing — inlining the slice into _MD5_HASH15's {t} would let the
+    # macro's inner fold variable `i` shadow the gram index `i` (DuckDB
+    # lambda scoping), hashing garbage.  Same construction as the winnow
+    # oracle.
+    h = _MD5_HASH15.format(t="'s:' || g")
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t != '') AS tk FROM documents), "
+        f"g0 AS (SELECT doc_id, CASE WHEN len(tk) >= {L} THEN "
+        f"list_transform(generate_series(1, len(tk) - {L - 1}), i -> "
+        f"array_to_string(list_slice(tk, i, i + {L - 1}), ' ')) "
+        "ELSE CAST([] AS VARCHAR[]) END AS gs FROM d), "
+        f"g1 AS (SELECT doc_id, list_transform(gs, g -> {h}) AS hs FROM g0), "
+        "g AS (SELECT doc_id, i - 1 AS pos, hs[i] AS h FROM g1, "
+        "unnest(generate_series(1, len(hs))) AS u(i)), "
+        "c AS (SELECT h, count(*) AS occ, min(doc_id) AS cid FROM g GROUP BY h), "
+        "c2 AS (SELECT g.h, any_value(c.occ) AS occ, any_value(c.cid) AS cid, "
+        "min(g.pos) AS cpos FROM g JOIN c ON g.h = c.h AND g.doc_id = c.cid "
+        "GROUP BY g.h), "
+        "dup AS (SELECT g.doc_id, g.pos FROM g JOIN c2 ON g.h = c2.h "
+        "WHERE c2.occ >= 2 AND NOT (g.doc_id = c2.cid AND g.pos = c2.cpos)), "
+        f"cov AS (SELECT DISTINCT doc_id, pos + k AS j0 FROM dup, "
+        f"unnest(generate_series(0, {L - 1})) AS v(k)), "
+        "covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id), "
+        "toks AS (SELECT doc_id, i, tk[i] AS tok FROM d, "
+        "unnest(generate_series(1, len(tk))) AS u(i)), "
+        "kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS ct "
+        "FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.j0 = t.i - 1 "
+        "WHERE cov.j0 IS NULL GROUP BY t.doc_id) "
+        "SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(covagg.n_removed, 0) AS BIGINT) AS n_removed, "
+        "coalesce(kept.ct, '') AS clean_text "
+        "FROM d LEFT JOIN covagg ON covagg.doc_id = d.doc_id "
+        "LEFT JOIN kept ON kept.doc_id = d.doc_id"
+    )
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -1913,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "html_text_extract": q_html_text_extract,
         "winnow_dup_pairs": q_winnow_dup_pairs,
+        "dup_span_removal": q_dup_span_removal,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -3190,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply": _bpe_apply_oracle_sql(5),
         "html_text_extract": _html_extract_oracle_sql(),
         "winnow_dup_pairs": _winnow_oracle_sql(3, 4, 2),
+        "dup_span_removal": _dup_span_removal_oracle_sql(8),
         "repeated_line_removal": (
             "WITH d AS (SELECT doc_id, text || chr(10) || "
             "'ACCEPT COOKIES TO CONTINUE' || chr(10) || chr(10) || "

@@ -536,6 +536,106 @@ def winnow_dup_pairs(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    hash_seed: str = "s",
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """Cross-document EXACT-substring deduplication (the ExactSubstr half
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public): any token span of length >= ``span_tokens`` that
+    occurs elsewhere in the corpus is removed, keeping ONE canonical
+    occurrence — the globally smallest (doc_id, pos) per span value.
+
+    Spark-native shape (the paper uses a single-machine suffix array; this
+    is the distributed equivalent over token grams): a span of length
+    >= L duplicates iff every one of its length-L grams duplicates, so
+    removing the tokens covered by non-canonical duplicated L-grams
+    removes exactly the non-canonical copies of all qualifying spans —
+    overlap handling (interval merge) costs nothing because coverage is
+    computed as a flat position set:
+
+      1. explode (id, pos, gram-hash) — the ONLY corpus-sized shuffle,
+         carrying 3 narrow columns, never text;
+      2. per gram value: min-(id,pos) occurrence is canonical (one
+         groupBy with a struct-min partial aggregate — no window);
+      3. non-canonical occurrences rejoin their doc as an array of span
+         starts; covered token indices = flatten(sequence(s, s+L-1)) —
+         HOF column algebra, no Python;
+      4. tokens at covered indices are dropped; the cleaned text plus
+         counts are emitted.
+
+    Returns (id, n_tokens, n_removed, clean_text).  Docs shorter than
+    ``span_tokens`` pass through untouched.  The md5 hash basis keeps the
+    whole pipeline SQL-replicable for the driver oracle; ``use_xxhash``
+    is the production swap (same rationale as winnow_fingerprints).
+    Collision caveat (documented, shared with every hash-based dedup in
+    this family): a 60-bit-hash collision removes a non-duplicated span.
+    Birthday bound at 10^12 grams: ~(10^12)^2 / 2^61 ~= 4*10^5 spurious
+    gram matches corpus-wide (~4 per 10^7 grams) — when that matters, run
+    with two independent ``hash_seed`` values and intersect the removal
+    sets, which squares the collision probability away.
+    """
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    L = span_tokens
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+    base = base.localCheckpoint(eager=False)  # grams + final rejoin
+    n = F.size("tk")
+    if use_xxhash:
+        hash_fn = lambda g: F.xxhash64(g)  # noqa: E731
+    else:
+        hash_fn = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(F.concat(F.lit(hash_seed + ":"), g)), 1, 15),
+            16, 10,
+        ).cast("long")
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= L,
+                F.transform(
+                    F.sequence(F.lit(1), n - (L - 1)),
+                    lambda i: hash_fn(F.array_join(F.slice("tk", i, L), " ")),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "h"),
+    )
+    canon = grams.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("c"),
+        F.count("*").alias("occ"),
+    )
+    dup_starts = (
+        grams.join(canon.where(F.col("occ") >= 2), "h")
+        .where((F.col("id") != F.col("c.id")) | (F.col("pos") != F.col("c.pos")))
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform("starts", lambda s: F.sequence(s, s + (L - 1))))
+    )
+    out = (
+        base.join(dup_starts, "id", "left")
+        .withColumn("_cov", F.when(F.col("starts").isNotNull(), covered)
+                    .otherwise(F.array().cast("array<int>")))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.size("_cov").cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter("tk", lambda x, i: ~F.array_contains(F.col("_cov"), i)),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return out
+
+
 def jaccard_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_col: str, tau: float = 0.8) -> DataFrame:
     """Within-block token-Jaccard near-dup pairs (SQL-expressible end to end)."""

@@ -6,9 +6,14 @@ oracle column surfacing as float64 against Spark's int64 hash-mismatches
 even when the values are numerically identical — this bit three rounds of
 oracles before the lint below).
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json out.json] [sf_dir] [query ...]
 Env:   LEVSIM_ORACLE_PROFILE=1  -> print per-query spark/duck seconds and a
                                    slowest-first summary at the end.
+
+--json writes the per-query artifact (status, row count, spark/duck
+seconds) committed at round close as CORRECTNESS_local_r{N}.json — the
+auditable counterpart of the builder's "local gate ALL OK" claim
+(round-4 VERDICT #6).
 """
 
 from __future__ import annotations
@@ -99,8 +104,14 @@ def dtype_lint(name, scols, srows, ocols, orows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     profile = os.environ.get("LEVSIM_ORACLE_PROFILE", "") not in ("", "0")
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
@@ -112,6 +123,7 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     timings = []
+    records = {}
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
@@ -126,6 +138,9 @@ def main():
             tag = " LINT:" + "; ".join(lint) if lint else ""
             print(f"{name:24s} rows-only: {len(srows)} rows, cols {scols}{tag}")
             timings.append((name, t_spark, 0.0))
+            records[name] = {"status": "lint_fail" if lint else "rows_only",
+                             "rows": len(srows), "spark_s": round(t_spark, 2),
+                             "duck_s": None}
             if lint:
                 failures.append(name)
             continue
@@ -138,6 +153,8 @@ def main():
             print(f"{name:24s} ORACLE SQL ERROR: {e}")
             failures.append(name)
             timings.append((name, t_spark, time.time() - t1))
+            records[name] = {"status": "oracle_sql_error", "rows": len(srows),
+                             "spark_s": round(t_spark, 2), "duck_s": None}
             continue
         t_duck = time.time() - t1
         timings.append((name, t_spark, t_duck))
@@ -166,6 +183,8 @@ def main():
             print(f"{name:24s} OK ({len(srows)} rows){extra}")
         else:
             failures.append(name)
+        records[name] = {"status": "ok" if ok else "FAIL", "rows": len(srows),
+                         "spark_s": round(t_spark, 2), "duck_s": round(t_duck, 2)}
     wall = time.time() - t_start
     if profile:
         print("\n-- slowest queries (spark_s, duck_s, total_s) --")
@@ -173,6 +192,21 @@ def main():
             print(f"  {name:28s} {ts:7.2f} {td:7.2f} {ts + td:7.2f}")
         print(f"  TOTAL wall {wall:.1f}s over {len(timings)} queries")
     print("\nRESULT:", "ALL OK" if not failures else f"FAILURES: {failures}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({
+                "sf_dir": sf_dir,
+                "wall_s": round(wall, 1),
+                "n_queries": len(records),
+                "n_ok": sum(1 for r in records.values() if r["status"] == "ok"),
+                "n_rows_only": sum(1 for r in records.values()
+                                   if r["status"] == "rows_only"),
+                "failures": failures,
+                "queries": records,
+            }, fh, indent=1)
+        print(f"artifact written: {json_path}")
     spark.stop()
     return 1 if failures else 0
 

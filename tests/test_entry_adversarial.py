@@ -87,6 +87,11 @@ def adversarial_dir(spark, tmp_path_factory):
     # unions flow through the gram joins, LM counts and line splitting
     "contamination_overlap", "bpe_merge_counts", "lm_fluency_scores",
     "repeated_line_removal", "dup_span_stats", "fingerprint_docs",
+    # round-5 queries: empty/whitespace texts exercise the no-gram winnow
+    # edge and the entity-only html scaffold; the tiny corpus trains fewer
+    # than 5 BPE merges, exercising bpe_apply's early-stop/no-op merge arms
+    "bpe_apply", "html_text_extract", "winnow_dup_pairs",
+    "dup_span_removal",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]

@@ -773,6 +773,40 @@ def test_winnowing_guarantee_and_shapes(spark):
         dedup.winnow_fingerprints(df, k=0)
 
 
+def test_remove_duplicate_spans(spark):
+    """ExactSubstr semantics: a span >= L tokens shared across docs is cut
+    everywhere EXCEPT its globally-first (min doc_id, pos) occurrence;
+    overlapping duplicated grams merge into one covered region; same-doc
+    repetition keeps the earlier copy; short docs pass through."""
+    L = 4
+    span = "alpha beta gamma delta"          # exactly L tokens
+    long_span = "one two three four five six"  # L+2 tokens -> 3 dup grams
+    rows = [
+        (1, f"start {span} end"),             # first occurrence -> kept
+        (2, f"pre {span} post"),              # copy -> span removed
+        (3, f"{long_span} tail word here"),   # first occurrence -> kept
+        (4, f"intro {long_span} outro"),      # copy -> all 6 tokens removed
+        (5, f"{span} mid {span}"),            # same-doc repeat: 2nd copy cut
+        (6, "too short"),                     # < L tokens: untouched
+        (7, "totally unique text of many tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(
+        df, span_tokens=L).collect()}
+    assert out[1].clean_text == f"start {span} end" and out[1].n_removed == 0
+    assert out[2].clean_text == "pre post" and out[2].n_removed == L
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "intro outro" and out[4].n_removed == 6
+    # doc 5: first span occurrence is pos 0; the doc-1 occurrence of the
+    # same gram has smaller doc_id, so BOTH doc-5 copies are non-canonical
+    assert out[5].clean_text == "mid" and out[5].n_removed == 2 * L
+    assert out[6].clean_text == "too short" and out[6].n_removed == 0
+    assert out[7].n_removed == 0
+    assert all(out[i].n_tokens == len(rows[i - 1][1].split()) for i in out)
+    with pytest.raises(ValueError):
+        dedup.remove_duplicate_spans(df, span_tokens=0)
+
+
 def test_sparse_token_cosine_matches_dense(spark):
     """Sparse (token-join) cosine == dense NumPy cosine; disjoint-vocab
     pairs keep dot=0; zero-token sides are dropped."""

@@ -28,6 +28,11 @@ QUERIES = [
     "bpe_merges",
     "lm_fluency_scores",
     "dup_span_stats",
+    # round 5: winnowing's window mins and ExactSubstr's canonical
+    # (min doc_id, pos) election are content-derived total orders —
+    # collect_set/groupBy ordering must not leak into either
+    "winnow_dup_pairs",
+    "dup_span_removal",
 ]
 
 
