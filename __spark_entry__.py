@@ -1299,6 +1299,46 @@ def _dup_span_removal_oracle_sql(L: int = 8) -> str:
     )
 
 
+def q_canonical_selection(spark, sf_dir):
+    """Post-dedup canonical-member selection (consensus.select_canonical,
+    round 5): one surviving doc per (lang, source) cluster by the
+    longest-text policy, ties to the smallest id.  The operator is two
+    partial-aggregable groupBys + one equi-join (NO window — megacluster-
+    safe); the oracle recomputes the argmax independently."""
+    from levsim.consensus import select_canonical
+
+    d = _docs(spark, sf_dir).select(
+        F.concat_ws(":", "lang", "source").alias("cluster_id"),
+        "doc_id",
+        F.col("text").alias("norm_text"),
+    )
+    return select_canonical(d)
+
+
+def q_blocked_hosts(spark, sf_dir):
+    """Domain-blocklist filtering with suffix semantics (round 5,
+    webprep.flag_blocked_hosts): hosts synthesized deterministically from
+    doc fields, matched against a 3-pattern blocklist via the label-
+    aligned suffix explode + broadcast equi-join.  The oracle uses the
+    INDEPENDENT formulation (host = pattern OR host LIKE '%.'||pattern) —
+    same semantics, different algorithm, so a suffix-split off-by-one on
+    the Spark side cannot hide."""
+    from levsim.extras.webprep import flag_blocked_hosts
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.concat(
+            F.col("source"), F.lit("."), F.col("lang"), F.lit(".example."),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("com")).otherwise(F.lit("org")),
+        )).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("de.example.org",), ("web.en.example.org",)],
+        "pattern string",
+    )
+    return flag_blocked_hosts(d, bl).select("doc_id", "host", "blocked")
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -1967,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": q_html_text_extract,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dup_span_removal": q_dup_span_removal,
+        "canonical_selection": q_canonical_selection,
+        "blocked_hosts": q_blocked_hosts,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -3245,6 +3287,25 @@ def oracle_sql() -> dict[str, str]:
         "html_text_extract": _html_extract_oracle_sql(),
         "winnow_dup_pairs": _winnow_oracle_sql(3, 4, 2),
         "dup_span_removal": _dup_span_removal_oracle_sql(8),
+        "canonical_selection": (
+            "WITH s AS (SELECT lang || ':' || source AS cluster_id, doc_id, "
+            "CAST(length(text) AS BIGINT) AS m FROM documents), "
+            "b AS (SELECT cluster_id, max(m) AS m FROM s GROUP BY 1) "
+            "SELECT s.cluster_id, CAST(min(s.doc_id) AS BIGINT) AS canon_id, "
+            "CAST(any_value(s.m) AS BIGINT) AS metric "
+            "FROM s JOIN b ON s.cluster_id = b.cluster_id AND s.m = b.m "
+            "GROUP BY s.cluster_id"
+        ),
+        "blocked_hosts": (
+            "WITH h AS (SELECT doc_id, lower(source || '.' || lang || "
+            "'.example.' || CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END) "
+            "AS host FROM documents), "
+            "p AS (SELECT * FROM (VALUES ('example.com'), ('de.example.org'), "
+            "('web.en.example.org')) t(pat)) "
+            "SELECT doc_id, host, "
+            "EXISTS (SELECT 1 FROM p WHERE h.host = p.pat "
+            "OR h.host LIKE '%.' || p.pat) AS blocked FROM h"
+        ),
         "repeated_line_removal": (
             "WITH d AS (SELECT doc_id, text || chr(10) || "
             "'ACCEPT COOKIES TO CONTINUE' || chr(10) || chr(10) || "

@@ -255,3 +255,54 @@ def _elect(method: str, texts: list, weights: list) -> str:
     if method == "median":
         return kernels.median(texts, weights)
     raise ValueError(f"unknown consensus method {method!r}")
+
+
+def select_canonical(
+    clustered: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    policy: str = "longest",
+    metric_col: Optional[str] = None,
+) -> DataFrame:
+    """The post-dedup "which copy survives" step: ONE canonical member per
+    cluster by a deterministic policy (round 5) — unlike the consensus
+    electors above, the canonical doc is an EXISTING row, not a synthesized
+    median string, which is what a training-data dedup pipeline wants
+    (provenance-preserving).
+
+    Policies: ``longest`` / ``shortest`` text, ``min_id``, or ``metric``
+    (max of ``metric_col``, e.g. a quality score).  Ties always break to
+    the smallest id — deterministic under retries and partitionings.
+
+    Scale shape: two partial-aggregable groupBys and one equi-join on
+    (cluster, best-metric) — NO window function, so megaclusters cost the
+    same per row as singletons (contrast: a row_number window sorts each
+    cluster in one task).  Works for string or numeric ids (no negation
+    trick, hence the join instead of one max(struct)).
+
+    Returns (cluster_col, canon_id, metric).
+    """
+    from pyspark.sql import functions as F
+
+    if policy == "longest":
+        metric = F.length(F.col(text_col)).cast("long")
+    elif policy == "shortest":
+        metric = -F.length(F.col(text_col)).cast("long")
+    elif policy == "min_id":
+        metric = F.lit(0).cast("long")
+    elif policy == "metric":
+        if not metric_col:
+            raise ValueError("policy='metric' requires metric_col")
+        metric = F.col(metric_col)
+    else:
+        raise ValueError(f"unknown canonical policy {policy!r}")
+    scored = clustered.select(
+        F.col(cluster_col), F.col(id_col), metric.alias("_m")
+    )
+    best = scored.groupBy(cluster_col).agg(F.max("_m").alias("_m"))
+    return (
+        scored.join(best, [cluster_col, "_m"])
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("canon_id"), F.max("_m").alias("metric"))
+    )

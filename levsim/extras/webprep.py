@@ -248,3 +248,52 @@ def remove_repeated_lines(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def host_suffixes(col, max_labels: int = 10) -> Column:
+    """All registrable suffixes of a dotted hostname, label-aligned:
+    ``a.b.example.com`` -> [a.b.example.com, b.example.com, example.com,
+    com] (capped at ``max_labels`` labels — real hostnames have < 10).
+    Pure column algebra; the unit of the blocklist join below."""
+    h = _c(col)
+    labels = F.split(h, r"\.")
+    n = F.least(F.size(labels), F.lit(max_labels))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def flag_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    pattern_col: str = "pattern",
+    out_col: str = "blocked",
+) -> DataFrame:
+    """Domain blocklist filtering with SUFFIX semantics (round 5): a host
+    is blocked iff it equals a blocklist pattern or sits under one
+    (``ads.tracker.example.com`` matches pattern ``example.com``) — the
+    matching rule of the public URL-blocklist distributions (UT1 et al.)
+    that a crawl-cleaning pipeline applies first.
+
+    Scale shape: each doc explodes to <= ~10 (id, suffix) rows which
+    equi-join the broadcast-sized blocklist (10^5-10^6 patterns — a dim
+    table at any corpus scale; Catalyst broadcasts it under the default
+    threshold, and the explode side never carries text).  `LIKE
+    '%.'||pattern` per pair would be O(docs x patterns); the label-aligned
+    suffix join is O(docs x labels) with hash lookup.  Adds boolean
+    ``out_col``; filter with ``~F.col(out_col)`` to drop."""
+    pats = blocklist.select(F.col(pattern_col).alias("_pat")).distinct()
+    exploded = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(host_suffixes(F.col(host_col))).alias("_pat"),
+    )
+    hit = exploded.join(pats, "_pat").select("_bid").distinct() \
+        .withColumn("_blk", F.lit(True))
+    return (
+        df.join(hit, df[id_col] == hit["_bid"], "left")
+        .withColumn(out_col, F.coalesce(F.col("_blk"), F.lit(False)))
+        .drop("_bid", "_blk")
+    )

@@ -901,6 +901,77 @@ def test_html_to_text(spark):
     assert out[0].t == "bin text"
 
 
+def test_select_canonical_policies(spark):
+    """Canonical-member selection: longest/shortest/min_id/metric policies,
+    deterministic min-id tie-break, string ids, windowless plan."""
+    from levsim.consensus import select_canonical
+
+    rows = [
+        ("c1", 1, "aaaa"), ("c1", 2, "bb"), ("c1", 3, "aaaa"),  # len tie 1 vs 3
+        ("c2", 7, "x"), ("c2", 5, "xyz"),
+        ("c3", 9, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "cluster_id string, doc_id long, norm_text string")
+    got = {r.cluster_id: (r.canon_id, r.metric)
+           for r in select_canonical(df).collect()}
+    assert got == {"c1": (1, 4), "c2": (5, 3), "c3": (9, 4)}
+    got_s = {r.cluster_id: r.canon_id
+             for r in select_canonical(df, policy="shortest").collect()}
+    assert got_s == {"c1": 2, "c2": 7, "c3": 9}
+    got_m = {r.cluster_id: r.canon_id
+             for r in select_canonical(df, policy="min_id").collect()}
+    assert got_m == {"c1": 1, "c2": 5, "c3": 9}
+    qdf = df.withColumn("q", F.col("doc_id") * 10)  # metric favors max id
+    got_q = {r.cluster_id: r.canon_id
+             for r in select_canonical(qdf, policy="metric", metric_col="q").collect()}
+    assert got_q == {"c1": 3, "c2": 7, "c3": 9}
+    # string ids work (no numeric-negation trick in the implementation)
+    sdf = spark.createDataFrame(
+        [("c1", "docB", "aa"), ("c1", "docA", "aa")],
+        "cluster_id string, doc_id string, norm_text string")
+    assert select_canonical(sdf).collect()[0].canon_id == "docA"
+    # windowless: no Window node in the plan
+    plan = select_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    with pytest.raises(ValueError):
+        select_canonical(df, policy="best")
+    with pytest.raises(ValueError):
+        select_canonical(df, policy="metric")
+
+
+def test_flag_blocked_hosts(spark):
+    """Suffix semantics: equal match, subdomain match, NO substring or
+    superdomain false positives; empty blocklist blocks nothing."""
+    from levsim.extras.webprep import flag_blocked_hosts, host_suffixes
+
+    hosts = [
+        (1, "example.com"),           # exact
+        (2, "ads.example.com"),       # subdomain
+        (3, "a.b.ads.example.com"),   # deep subdomain
+        (4, "notexample.com"),        # substring trap: NOT blocked
+        (5, "example.com.evil.org"),  # superstring trap: NOT blocked
+        (6, "safe.org"),
+        (7, "com"),                   # bare TLD: not in list
+    ]
+    df = spark.createDataFrame(hosts, "doc_id long, host string")
+    bl = spark.createDataFrame([("example.com",)], "pattern string")
+    got = {r.doc_id: r.blocked for r in flag_blocked_hosts(df, bl).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False,
+                   6: False, 7: False}
+    # row count preserved (left join, no dup on multiple suffix hits)
+    bl2 = spark.createDataFrame(
+        [("example.com",), ("ads.example.com",)], "pattern string")
+    out2 = flag_blocked_hosts(df, bl2)
+    assert out2.count() == len(hosts)
+    empty = spark.createDataFrame([], "pattern string")
+    assert all(not r.blocked for r in flag_blocked_hosts(df, empty).collect())
+    sfx = df.where("doc_id = 3").select(
+        F.explode(host_suffixes("host")).alias("s")).collect()
+    assert [r.s for r in sfx] == [
+        "a.b.ads.example.com", "b.ads.example.com", "ads.example.com",
+        "example.com", "com"]
+
+
 def test_canonical_url(spark):
     from levsim.extras.webprep import canonical_url
 
