@@ -1027,6 +1027,77 @@ def q_repeated_line_removal(spark, sf_dir):
     )
 
 
+def q_c4_page_flags(spark, sf_dir):
+    """The C4 page-cleaning rule set (Raffel et al. §2.2) hard-oracled:
+    each doc becomes a multi-line page mixing its own text (sentence-
+    terminated), a short line (< 5 words), a javascript warning, a
+    no-terminal-punct line, and — on doc_id % 7 == 0 / % 11 == 0 — a curly
+    brace or "Lorem Ipsum" marker.  The oracle replays every rule (line
+    retention, post-retention sentence count, page-level markers) with the
+    same list algebra in DuckDB."""
+    from levsim.extras.webprep import c4_page_flags
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("Too short."),
+            F.lit("Please enable JavaScript to view this page properly okay."),
+            F.lit("a line with many words but no terminal punctuation at all"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("function f() { return 1; }")).otherwise(
+                F.lit("A perfectly normal closing sentence right here!")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("Lorem Ipsum dolor sit amet filler text here.")).otherwise(
+                F.lit('She said "done."')),
+        ).alias("text"),
+    )
+    f = c4_page_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_lines"].alias("n_lines"),
+        f["n_kept_lines"].alias("n_kept_lines"),
+        f["n_sentences"].alias("n_sentences"),
+        f["has_curly"].alias("has_curly"),
+        f["has_lorem"].alias("has_lorem"),
+        f["keep"].alias("keep"),
+    )
+
+
+def _c4_flags_oracle_sql(min_line_words: int = 5, min_sentences: int = 3) -> str:
+    page = (
+        "text || '.' || chr(10) || 'Too short.' || chr(10) || "
+        "'Please enable JavaScript to view this page properly okay.' || chr(10) || "
+        "'a line with many words but no terminal punctuation at all' || chr(10) || "
+        "CASE WHEN doc_id % 7 = 0 THEN 'function f() { return 1; }' "
+        "ELSE 'A perfectly normal closing sentence right here!' END || chr(10) || "
+        "CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet filler text here.' "
+        "ELSE 'She said \"done.\"' END"
+    )
+    kept = (
+        "list_filter(string_split(page, chr(10)), ln -> "
+        "regexp_matches(rtrim(ln), '[.!?\"]$') AND "
+        f"len(list_filter(string_split(ln, ' '), w -> w != '')) >= {min_line_words} "
+        "AND NOT contains(lower(ln), 'javascript'))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {page} AS page FROM documents), "
+        f"k AS (SELECT doc_id, page, {kept} AS kept FROM d), "
+        "s AS (SELECT doc_id, page, len(string_split(page, chr(10))) AS n_lines, "
+        "len(kept) AS n_kept_lines, "
+        "len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?\"]+')) "
+        "AS n_sentences, "
+        "contains(page, '{') AS has_curly, "
+        "contains(lower(page), 'lorem ipsum') AS has_lorem FROM k) "
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+        "CAST(n_kept_lines AS BIGINT) AS n_kept_lines, "
+        "CAST(n_sentences AS BIGINT) AS n_sentences, has_curly, has_lorem, "
+        f"(n_sentences >= {min_sentences} AND NOT has_curly AND NOT has_lorem) "
+        "AS keep FROM s"
+    )
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Span-level duplication signal (Lee et al. 2022 dedup family): per
     doc, total 8-token windows, windows occurring in other docs (with
@@ -2009,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "canonical_selection": q_canonical_selection,
         "blocked_hosts": q_blocked_hosts,
+        "c4_page_flags": q_c4_page_flags,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -3296,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s JOIN b ON s.cluster_id = b.cluster_id AND s.m = b.m "
             "GROUP BY s.cluster_id"
         ),
+        "c4_page_flags": _c4_flags_oracle_sql(),
         "blocked_hosts": (
             "WITH h AS (SELECT doc_id, lower(source || '.' || lang || "
             "'.example.' || CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END) "

@@ -297,3 +297,50 @@ def flag_blocked_hosts(
         .withColumn(out_col, F.coalesce(F.col("_blk"), F.lit(False)))
         .drop("_bid", "_blk")
     )
+
+
+def c4_page_flags(col, min_line_words: int = 5, min_sentences: int = 3) -> Column:
+    """The classic C4 page-cleaning rules (Raffel et al. 2020 §2.2,
+    public) as ONE struct-returning pure-column expression — per page:
+
+      - ``n_lines``: raw line count;
+      - ``n_kept_lines``: lines that end in a terminal punctuation mark
+        (``.  !  ?  "``), contain >= ``min_line_words`` words, and do not
+        mention "javascript" (case-insensitive) — C4's line-retention
+        rule;
+      - ``n_sentences``: count of terminal-punctuation RUNS over the KEPT
+        lines (a run like ``."`` or ``?!`` closes ONE sentence, so it
+        counts once; the paper's "fewer than 3 sentences" test applies
+        post-retention);
+      - ``has_curly``: page contains ``{`` (code, not prose);
+      - ``has_lorem``: page contains "lorem ipsum" (case-insensitive);
+      - ``keep``: n_sentences >= ``min_sentences`` AND NOT has_curly AND
+        NOT has_lorem.
+
+    The dirty-word-list rule is intentionally NOT bundled — pass your
+    list to :func:`flag_blocked_hosts`-style joins or a contains chain;
+    shipping a hardcoded list helps no one.  Trailing whitespace on a
+    line does not defeat the terminal-punctuation test (rtrim first).
+    All expressions exist verbatim in DuckDB, so the driver oracle
+    replays the rules exactly."""
+    t = _c(col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(ln, " "), lambda w: w != F.lit("")))
+           >= F.lit(min_line_words))
+        & ~F.lower(ln).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(kept_text, F.lit(r'[.!?"]+'), F.lit(0)))
+    has_curly = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        ((n_sentences >= min_sentences) & ~has_curly & ~has_lorem).alias("keep"),
+    )

@@ -901,6 +901,44 @@ def test_html_to_text(spark):
     assert out[0].t == "bin text"
 
 
+def test_c4_page_flags(spark):
+    """C4 §2.2 rules: terminal-punct line retention (rtrim'd), 5-word
+    minimum, javascript line drop, post-retention sentence count, curly/
+    lorem page markers, and the keep verdict."""
+    from levsim.extras.webprep import c4_page_flags
+
+    good = "\n".join([
+        "This is a perfectly fine first sentence of prose.",
+        "Here is another reasonable sentence with enough words!",
+        'And a third one that ends with a quote."',
+    ])
+    cases = [
+        (1, good, (3, 3, 3, False, False, True)),
+        # trailing spaces must not defeat the terminal-punct test
+        (2, good + "   ", (3, 3, 3, False, False, True)),
+        (3, good + "\nEnable JavaScript now to continue reading please.",
+         (4, 3, 3, False, False, True)),       # js line dropped, page kept
+        (4, good + "\nvar x = { a: 1 };", (4, 3, 3, True, False, False)),
+        (5, good + "\nLOREM IPSUM dolor sit amet consectetur adipiscing.",
+         (4, 4, 4, False, True, False)),       # case-insensitive marker
+        (6, "Only two sentences here which is sad. Second one right here.",
+         None),  # single LINE: sentence count comes from kept text
+        (7, "no punctuation no keep", (1, 0, 0, False, False, False)),
+        (8, "Tiny. Sad.", (1, 0, 0, False, False, False)),  # <5 words line
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               "doc_id long, text string")
+    f = c4_page_flags(F.col("text"))
+    got = {r.doc_id: (r.f["n_lines"], r.f["n_kept_lines"], r.f["n_sentences"],
+                      r.f["has_curly"], r.f["has_lorem"], r.f["keep"])
+           for r in df.select("doc_id", f.alias("f")).collect()}
+    for i, _, want in cases:
+        if want is not None:
+            assert got[i] == want, (i, got[i], want)
+    # case 6: one line, two terminal dots -> 2 sentences -> not kept (min 3)
+    assert got[6][2] == 2 and got[6][5] is False
+
+
 def test_select_canonical_policies(spark):
     """Canonical-member selection: longest/shortest/min_id/metric policies,
     deterministic min-id tie-break, string ids, windowless plan."""
