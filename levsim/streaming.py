@@ -270,3 +270,52 @@ def run_incremental_sessions(spark: SparkSession, input_dir: str, output_dir: st
     )
     q.awaitTermination()
     return q
+
+
+def keyed_neardup_stream(pages: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         n_perm: int = 64, rows_per_band: int = 4,
+                         shingle_k: int = 3) -> DataFrame:
+    """Streaming near-dup keying (round 5): each incoming doc fans out to
+    its MinHash LSH band keys — the SAME band expressions as the batch
+    dedup path (blocking.minhash_band_udf), prefixed with the band index
+    so cross-band collisions cannot alias.  Feeding this into
+    :func:`streaming_candidate_pairs` gives incremental NEAR-DUP candidate
+    pairs with O(cap) state per band bucket: the streaming analog of
+    dedup.minhash_candidate_pairs, by composition rather than a new
+    stateful operator (asserted stream == batch in tests)."""
+    from . import blocking
+
+    bands = blocking.minhash_band_udf(n_perm=n_perm,
+                                      rows_per_band=rows_per_band,
+                                      shingle_k=shingle_k)
+    return pages.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(bands(F.col(text_col))).alias("band_i", "bkey"),
+    ).select(
+        "doc_id",
+        F.concat_ws(":", F.lit("mh"), F.col("band_i"), F.col("bkey")).alias("block_key"),
+    )
+
+
+def run_incremental_neardup(spark: SparkSession, input_dir: str,
+                            output_dir: str, checkpoint_dir: str,
+                            max_state_ids: int = 200, **band_kw):
+    """Catch-up near-dup candidate emission over a pages directory: new
+    files are banded and run through the stateful pair emitter; each
+    near-dup candidate pair appears exactly once per band bucket.  The
+    verify/threshold stage stays a batch pass over the emitted pairs
+    (scoring needs both texts — an id-keyed batch join, not stream state)."""
+    pages = read_pages_stream(spark, input_dir)
+    keyed = keyed_neardup_stream(pages, **band_kw)
+    pairs = streaming_candidate_pairs(keyed, max_state_ids=max_state_ids)
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

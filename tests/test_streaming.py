@@ -193,3 +193,37 @@ def test_streaming_textstats_and_pii(spark, tmp_path):
         assert got[i].asDict() == want[i].asDict(), i
     assert got[1].pii.n_emails == 1 and "<EMAIL>" in got[1].redacted
     assert got[2].rep.top_count == 3  # 'x y' bigram repeats
+
+
+def test_streaming_neardup_equals_batch_minhash(staged_pages):
+    """Round 5: streaming near-dup BY COMPOSITION — minhash band keys
+    (the batch path's own band UDF) feeding the stateful pair emitter must
+    reproduce the batch minhash candidate set across two catch-up runs,
+    with per-band-bucket exactly-once across the checkpoint restart."""
+    from levsim.extras.dedup import minhash_candidate_pairs
+
+    spark, in_dir, _, _, full_df, second = staged_pages
+    out_dir = in_dir + "_nd_out"
+    ckpt = in_dir + "_nd_ckpt"
+
+    kw = dict(id_col="url", text_col="text", n_perm=32, rows_per_band=4,
+              shingle_k=3)
+    streaming.run_incremental_neardup(spark, in_dir, out_dir, ckpt, **kw)
+    n1 = spark.read.parquet(out_dir).select("id_a", "id_b").distinct().count()
+
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    streaming.run_incremental_neardup(spark, in_dir, out_dir, ckpt, **kw)
+    got = spark.read.parquet(out_dir)
+    # exactly-once per (pair, band bucket) across the restart
+    assert got.groupBy("id_a", "id_b", "block_key").count() \
+              .where(F.col("count") > 1).count() == 0
+    sgot = got.select("id_a", "id_b").distinct()
+
+    want = minhash_candidate_pairs(
+        full_df, id_col="url", text_col="text", n_perm=32, rows_per_band=4,
+        shingle_k=3, max_block_size=10**6,
+    ).select(F.col("id_a").cast("string").alias("id_a"),
+             F.col("id_b").cast("string").alias("id_b")).distinct()
+    assert sgot.subtract(want).count() == 0
+    assert want.subtract(sgot).count() == 0
+    assert sgot.count() >= n1 > 0
