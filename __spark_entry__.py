@@ -1410,6 +1410,47 @@ def q_blocked_hosts(spark, sf_dir):
     return flag_blocked_hosts(d, bl).select("doc_id", "host", "blocked")
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point queries (Cormode & Muthukrishnan 2005,
+    round 5): the 4x1024 md5-cell sketch is built over all corpus tokens,
+    then probed for the exact top-20 tokens; emits (tok, exact_cnt, est).
+    The oracle replays token explosion, cell hashing, counter sums and the
+    min-over-depth probe exactly — so both the sketch construction and
+    the estimator are value-pinned (est >= exact by the CMS guarantee,
+    equal when no cell collides)."""
+    from levsim.extras.sampling import cms_estimate, cms_token_sketch
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(
+        F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("tok"))
+    exact = (
+        toks.groupBy("tok").agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    sketch = cms_token_sketch(d, "text", depth=4, width=1024)
+    est = cms_estimate(sketch, exact.select("tok"), depth=4, width=1024)
+    return exact.join(est, "tok").select("tok", "exact_cnt", "est")
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 1024, top_k: int = 20) -> str:
+    h = _MD5_HASH15.format(t="'cms:' || CAST(d AS VARCHAR) || ':' || tok")
+    return (
+        "WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), "
+        "t -> t != '')) AS tok FROM documents), "
+        "exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt "
+        f"FROM toks GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT {top_k}), "
+        f"cells AS (SELECT d, {h} % {width} AS idx, count(*) AS cnt "
+        f"FROM toks, unnest(generate_series(0, {depth - 1})) AS u(d) "
+        "GROUP BY 1, 2), "
+        f"probes AS (SELECT e.tok, e.exact_cnt, d, {h} % {width} AS idx "
+        f"FROM exact e, unnest(generate_series(0, {depth - 1})) AS u(d)) "
+        "SELECT p.tok, p.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS est "
+        "FROM probes p JOIN cells c ON p.d = c.d AND p.idx = c.idx "
+        "GROUP BY p.tok, p.exact_cnt"
+    )
+
+
 def q_lm_fluency_scores(spark, sf_dir):
     """Count-based LM quality filter (CCNet-style perplexity-filter family)
     in EXACT integers: a bigram LM with stupid-backoff trained on docs
@@ -2081,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_selection": q_canonical_selection,
         "blocked_hosts": q_blocked_hosts,
         "c4_page_flags": q_c4_page_flags,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -3369,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY s.cluster_id"
         ),
         "c4_page_flags": _c4_flags_oracle_sql(),
+        "cms_heavy_hitters": _cms_oracle_sql(4, 1024, 20),
         "blocked_hosts": (
             "WITH h AS (SELECT doc_id, lower(source || '.' || lang || "
             "'.example.' || CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END) "

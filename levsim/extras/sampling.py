@@ -210,3 +210,82 @@ def shard_manifests(
         F.max("doc_id").alias("last_id"),
         F.expr("bit_xor(_h)").alias("checksum"),
     )
+
+
+def cms_token_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) of the
+    corpus token-frequency distribution, as a (d, idx, cnt) counter table
+    — depth x width cells, token t incrementing cell (d, md5(seed:d:t) %
+    width) for every row d.
+
+    Why a sketch when groupBy(token) exists: the sketch is FIXED-SIZE
+    (depth*width cells regardless of vocabulary), linearly MERGEABLE
+    (sketch(A union B) = cellwise sum — asserted in tests), and therefore
+    the right shape for streaming accumulation or cross-partition
+    pre-aggregation of heavy-hitter stats where a 10^9-key exact groupBy
+    is not (KMV's rationale, for frequencies instead of cardinality).
+
+    The md5 hash basis makes every cell exactly reproducible in SQL, so
+    the driver oracle replays the whole sketch.  Estimates via
+    :func:`cms_estimate`; the classic guarantee: est >= true, and
+    est <= true + eps*N with prob 1-delta for width=ceil(e/eps),
+    depth=ceil(ln 1/delta).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("tok")
+    )
+    rows = toks.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "tok"
+    )
+    cells = rows.select(
+        "d",
+        F.pmod(
+            md5_long(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("tok")),
+                     seed),
+            F.lit(width),
+        ).cast("int").alias("idx"),
+    )
+    return cells.groupBy("d", "idx").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    tokens: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    token_col: str = "tok",
+) -> DataFrame:
+    """Point-query the count-min sketch: per token, min over depth rows of
+    its cell counter (missing cell -> 0 estimate is impossible for tokens
+    that were counted; absent-join rows mean the token never hashed there,
+    i.e. estimate 0 for never-seen tokens).  Join shape: tokens x depth
+    (tiny) equi-joined to the sketch on (d, idx) — the sketch behaves as a
+    broadcast dim table."""
+    probes = tokens.select(
+        F.col(token_col).alias("tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        "tok",
+        "d",
+        F.pmod(
+            md5_long(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("tok")),
+                     seed),
+            F.lit(width),
+        ).cast("int").alias("idx"),
+    )
+    return (
+        probes.join(sketch, ["d", "idx"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

@@ -901,6 +901,39 @@ def test_html_to_text(spark):
     assert out[0].t == "bin text"
 
 
+def test_cms_sketch_properties(spark):
+    """Count-min guarantees: est >= exact always; est == exact at ample
+    width (no collisions among few tokens); linear mergeability
+    (sketch(A union B) == cellwise sum of sketch(A) + sketch(B));
+    never-seen tokens estimate 0."""
+    from levsim.extras.sampling import cms_estimate, cms_token_sketch
+
+    a = spark.createDataFrame(
+        [(1, "x x x y z"), (2, "x y w w")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "y y z q")], "doc_id long, text string")
+    both = a.unionByName(b)
+    exact = {"x": 4, "y": 4, "z": 2, "w": 2, "q": 1}
+    toks = spark.createDataFrame([(t,) for t in exact] + [("missing",)],
+                                 "tok string")
+    for width in (2, 8, 4096):
+        sk = cms_token_sketch(both, width=width)
+        est = {r.tok: r.est for r in cms_estimate(sk, toks, width=width).collect()}
+        for t, c in exact.items():
+            assert est[t] >= c, (width, t)
+        if width == 4096:
+            assert {t: est[t] for t in exact} == exact
+            assert est["missing"] == 0
+    # mergeability: cellwise sum of the two sketches == sketch of the union
+    sa, sb = cms_token_sketch(a), cms_token_sketch(b)
+    merged = (sa.unionByName(sb).groupBy("d", "idx")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    su = cms_token_sketch(both)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, su.collect()))
+    with pytest.raises(ValueError):
+        cms_token_sketch(a, depth=0)
+
+
 def test_c4_page_flags(spark):
     """C4 §2.2 rules: terminal-punct line retention (rtrim'd), 5-word
     minimum, javascript line drop, post-retention sentence count, curly/
