@@ -503,6 +503,19 @@ def q_token_cosine_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", "dot", "na2", "nb2")
 
 
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """IDF-weighted sparse cosine (dedup.tfidf_cosine_pairs, round 5) over
+    the blocked pairs — linear floor-scaled idf (exact integers; ln is
+    banned cross-engine, see the operator docstring).  Emits the exact
+    integer magnitudes only, like q_token_cosine_pairs."""
+    from levsim.extras.dedup import tfidf_cosine_pairs
+
+    d = _docs(spark, sf_dir)
+    p = _pairs(spark, sf_dir).select("id_a", "id_b")
+    out = tfidf_cosine_pairs(d, p)
+    return out.select("id_a", "id_b", "dot", "na2", "nb2")
+
+
 def q_prefix_jaccard_join(spark, sf_dir):
     """PPJoin-style prefix-filtered ALL-PAIRS shingle-Jaccard self-join
     (J >= 0.5 on word bigrams) — no blocking key at all.  The DuckDB oracle
@@ -2123,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_hosts": q_blocked_hosts,
         "c4_page_flags": q_c4_page_flags,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bpe_merge_counts": q_bpe_merge_counts,
         "contamination_overlap": q_contamination_overlap,
         "lm_fluency_scores": q_lm_fluency_scores,
@@ -2997,6 +3011,26 @@ def oracle_sql() -> dict[str, str]:
             "dt AS (SELECT p.id_a, p.id_b, CAST(sum(a.c * b.c) AS BIGINT) AS dot "
             "FROM p JOIN cnt a ON a.doc_id = p.id_a "
             "JOIN cnt b ON b.doc_id = p.id_b AND b.tok = a.tok "
+            "GROUP BY p.id_a, p.id_b) "
+            "SELECT p.id_a, p.id_b, coalesce(dt.dot, 0) AS dot, "
+            "na.n2 AS na2, nb.n2 AS nb2 "
+            "FROM p LEFT JOIN dt ON dt.id_a = p.id_a AND dt.id_b = p.id_b "
+            "JOIN nrm na ON na.doc_id = p.id_a JOIN nrm nb ON nb.doc_id = p.id_b"
+        ),
+        "tfidf_cosine_pairs": _P_CTE
+        + (
+            ", toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "t -> t != '')) AS tok FROM documents), "
+            "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok), "
+            "dfq AS (SELECT tok, count(*) AS df FROM cnt GROUP BY tok), "
+            "nn AS (SELECT 1000 * count(DISTINCT doc_id) AS sn FROM documents), "
+            "w AS (SELECT c.doc_id, c.tok, c.c * ((SELECT sn FROM nn) // d.df) AS w "
+            "FROM cnt c JOIN dfq d ON c.tok = d.tok), "
+            "nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w "
+            "GROUP BY doc_id), "
+            "dt AS (SELECT p.id_a, p.id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot "
+            "FROM p JOIN w a ON a.doc_id = p.id_a "
+            "JOIN w b ON b.doc_id = p.id_b AND b.tok = a.tok "
             "GROUP BY p.id_a, p.id_b) "
             "SELECT p.id_a, p.id_b, coalesce(dt.dot, 0) AS dot, "
             "na.n2 AS na2, nb.n2 AS nb2 "

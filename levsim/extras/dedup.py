@@ -1012,6 +1012,77 @@ def sparse_token_cosine_pairs(
     )
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """IDF-weighted sparse cosine for candidate pairs — the rare-token-
+    sensitive sibling of :func:`sparse_token_cosine_pairs` (raw TF cosine
+    lets stopwords dominate; down-weighting by document frequency is the
+    standard fix).
+
+    IDF VARIANT (deliberate, documented): the weight is the LINEAR
+    floor-scaled idf  ``w_t = tf_t * ((idf_scale * N) DIV df_t)`` — exact
+    integers end to end, because ``ln()`` is not correctly-rounded IEEE
+    and differs between engines in the last ulp, which would break the
+    bit-exact oracle (the repo-wide no-cross-engine-log rule; the ppm
+    floor-division trick of ``bigram_fluency_scores``).  Linear idf
+    preserves the df ORDERING ln-idf induces (both strictly decreasing in
+    df) while being cross-engine-exact; callers wanting ln-idf semantics
+    can post-scale driver-side.
+
+    Overflow headroom: dot terms are ``(tf*idf)^2`` summed; with
+    ``idf_scale * N <= ~10^7`` and web-page tf <= ~10^3 the BIGINT bound
+    holds with >10x margin — size ``idf_scale`` DOWN as N grows (the
+    default suits corpora to ~10^4 docs; at 10^9 docs use idf_scale=1...
+    and df alone spans the needed range).  Emits exact (dot, na2, nb2)
+    BIGINTs + the derived cos, like the TF variant.
+    """
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda t: t != F.lit(""))).alias("tok"),
+    )
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dfreq = cnt.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (
+        cnt.join(dfreq, "tok")
+        .select(
+            "doc_id", "tok",
+            (F.col("c") * F.expr(f"({idf_scale} * {n_docs}L) div df")).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # norms + both dot sides
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    wa = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dot = (
+        pairs.join(wa, "id_a")
+        .join(wb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    return (
+        pairs.join(dot, ["id_a", "id_b"], "left")
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0)).cast("long"))
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "dot",
+            F.col("na2").cast("long").alias("na2"),
+            F.col("nb2").cast("long").alias("nb2"),
+            (F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
+        )
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

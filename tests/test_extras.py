@@ -901,6 +901,37 @@ def test_html_to_text(spark):
     assert out[0].t == "bin text"
 
 
+def test_tfidf_cosine_pairs(spark):
+    """IDF weighting must rank a rare-token overlap above a stopword
+    overlap (raw TF cosine can't tell them apart here), and the integer
+    magnitudes must equal a hand computation with the same linear idf."""
+    from levsim.extras.dedup import tfidf_cosine_pairs
+
+    docs = [
+        (1, "the quaternion"),
+        (2, "quaternion also xx"),      # shares ONLY rare 'quaternion'
+        (3, "the shovel yy"),           # shares ONLY stopword-ish 'the'
+        (4, "the unrelated words"),     # raises df('the') to 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r for r in tfidf_cosine_pairs(df, pairs).collect()}
+    # raw TF cosine TIES these pairs (each shares exactly one tf-1 token
+    # with doc 1, same lengths); idf must break the tie toward the rare one
+    assert out[(1, 2)].cos > out[(1, 3)].cos > out[(2, 3)].cos == 0.0
+    assert out[(2, 3)].dot == 0
+    # hand check: N=4, scale=1000 -> idf: the=4000//3=1333,
+    # quaternion=4000//2=2000, singletons=4000
+    w1 = {"the": 1333, "quaternion": 2000}
+    w2 = {"quaternion": 2000, "also": 4000, "xx": 4000}
+    w3 = {"the": 1333, "shovel": 4000, "yy": 4000}
+    assert out[(1, 2)].dot == 2000 * 2000
+    assert out[(1, 3)].dot == 1333 * 1333
+    assert out[(1, 2)].na2 == sum(v * v for v in w1.values())
+    assert out[(1, 2)].nb2 == sum(v * v for v in w2.values())
+    assert out[(1, 3)].nb2 == sum(v * v for v in w3.values())
+
+
 def test_cms_sketch_properties(spark):
     """Count-min guarantees: est >= exact always; est == exact at ample
     width (no collisions among few tokens); linear mergeability
