@@ -1099,8 +1099,11 @@ def _c4_flags_oracle_sql(min_line_words: int = 5, min_sentences: int = 3) -> str
         f"k AS (SELECT doc_id, page, {kept} AS kept FROM d), "
         "s AS (SELECT doc_id, page, len(string_split(page, chr(10))) AS n_lines, "
         "len(kept) AS n_kept_lines, "
-        "len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?\"]+')) "
-        "AS n_sentences, "
+        # COALESCE: DuckDB array_to_string([]) is NULL where Spark
+        # array_join([]) is '' (caught by the adversarial gate's
+        # zero-kept-lines docs)
+        "len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), "
+        "'[.!?\"]+')) AS n_sentences, "
         "contains(page, '{') AS has_curly, "
         "contains(lower(page), 'lorem ipsum') AS has_lorem FROM k) "
         "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "

@@ -91,7 +91,8 @@ def adversarial_dir(spark, tmp_path_factory):
     # edge and the entity-only html scaffold; the tiny corpus trains fewer
     # than 5 BPE merges, exercising bpe_apply's early-stop/no-op merge arms
     "bpe_apply", "html_text_extract", "winnow_dup_pairs",
-    "dup_span_removal",
+    "dup_span_removal", "canonical_selection", "blocked_hosts",
+    "c4_page_flags", "cms_heavy_hitters", "tfidf_cosine_pairs",
 ])
 def test_adversarial_oracle_match(spark, adversarial_dir, name):
     q = entrymod.queries()[name]
