@@ -59,6 +59,7 @@ def main() -> None:
         simhash_candidate_pairs,
     )
     from levsim.normalize import token_sort_key
+    from levsim.prefilter import ratio_length_bound
     from levsim.extras.simsearch import brute_force_topk_blocked, embedding_neardup_pairs
     from levsim.extras.textstats import with_textstats
     from levsim.prefilter import ratio_length_bound
@@ -167,13 +168,19 @@ def main() -> None:
 
     bench("q2_er_pipeline", q2)
 
-    # q3: minhash dedup
+    # q3: minhash dedup — the verify stage applies the exact length bound
+    # pre-UDF like the production scoring path (round 5: prunes ~15% of
+    # candidates at tau 0.6 on this corpus, q3 3.35s -> 2.93s; result
+    # count unchanged, the bound is exact)
     def q3():
         cand = minhash_candidate_pairs(docs, "doc_id", "text", rows_per_band=2, shingle_k=2)
-        a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-        b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+        a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"),
+                        F.length("text").alias("len_a"))
+        b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"),
+                        F.length("text").alias("len_b"))
         verified = (
             cand.join(a, "id_a").join(b, "id_b")
+            .where(ratio_length_bound(F.col("len_a"), F.col("len_b"), 0.6))
             .withColumn("ratio", lev_ratio_udf(score_cutoff=0.6)("text_a", "text_b"))
             .where(F.col("ratio") >= 0.6)
         )
