@@ -1074,6 +1074,43 @@ def test_flag_blocked_hosts(spark):
         "example.com", "com"]
 
 
+def test_html_to_text_fuzz_vs_python_re(spark):
+    """Randomized HTML through the Spark column chain vs a byte-identical
+    Python `re` mirror — a third regex engine (Java vs RE2 vs Python)
+    agreeing on the same pattern chain pins the chain to constructs with
+    identical semantics in all three."""
+    import random
+    import re
+
+    from levsim.extras.webprep import HTML_ENTITIES, html_to_text
+
+    def py_mirror(s: str) -> str:
+        s = re.sub(r"(?s)<!--.*?-->", " ", s)
+        s = re.sub(r"(?is)<script\b.*?</script\s*>", " ", s)
+        s = re.sub(r"(?is)<style\b.*?</style\s*>", " ", s)
+        s = re.sub(r"(?s)<[^>]*>", " ", s)
+        for ent, rep in HTML_ENTITIES:
+            s = s.replace(ent, rep)
+        return re.sub(r"\s+", " ", s).strip()
+
+    rng = random.Random(23)
+    frags = [
+        "plain words ", "<b>", "</b>", "<p class='x'>", "<!-- hidden -->",
+        "<script>var a = '</div>';</script>", "<style>p{}</style>",
+        "&amp;", "&lt;", "&amp;lt;", "&nbsp;", "&#39;", "more text",
+        "<SCRIPT a=b>1<2</SCRIPT >", "\n", "   ", "<br/>", "< notatag",
+        "text>stray", "<!---->", "&unknown;", "a<b", '"quoted"',
+    ]
+    cases = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        cases.append((i, "".join(rng.choice(frags) for _ in range(n))))
+    df = spark.createDataFrame(cases, "i long, html string")
+    got = {r.i: r.t for r in df.select("i", html_to_text("html").alias("t")).collect()}
+    for i, h in cases:
+        assert got[i] == py_mirror(h), (h, got[i], py_mirror(h))
+
+
 def test_canonical_url(spark):
     from levsim.extras.webprep import canonical_url
 
