@@ -1386,6 +1386,25 @@ def _dup_span_removal_oracle_sql(L: int = 8) -> str:
     )
 
 
+def q_bcubed_overlap(spark, sf_dir):
+    """B-cubed evaluation core (evaluate.bcubed_overlap_table, round 5):
+    truth entities are the (lang, source) groups; the predicted clustering
+    is a controlled perturbation (every 17th doc splits into its own '_x'
+    sub-cluster), so the overlap table has non-trivial ni < nc < nt cells.
+    All exact integers; the oracle recomputes the three group-bys."""
+    from levsim.evaluate import bcubed_overlap_table
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(":", "lang", "source").alias("entity_id"),
+        F.concat(
+            F.concat_ws(":", "lang", "source"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("_x")).otherwise(F.lit("")),
+        ).alias("cluster_id"),
+    )
+    return bcubed_overlap_table(d, id_col="doc_id")
+
+
 def q_canonical_selection(spark, sf_dir):
     """Post-dedup canonical-member selection (consensus.select_canonical,
     round 5): one surviving doc per (lang, source) cluster by the
@@ -2136,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dup_span_removal": q_dup_span_removal,
         "canonical_selection": q_canonical_selection,
+        "bcubed_overlap": q_bcubed_overlap,
         "blocked_hosts": q_blocked_hosts,
         "c4_page_flags": q_c4_page_flags,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3449,6 +3469,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "c4_page_flags": _c4_flags_oracle_sql(),
         "cms_heavy_hitters": _cms_oracle_sql(4, 1024, 20),
+        "bcubed_overlap": (
+            "WITH a AS (SELECT doc_id, lang || ':' || source AS t, "
+            "lang || ':' || source || "
+            "CASE WHEN doc_id % 17 = 0 THEN '_x' ELSE '' END AS c "
+            "FROM documents), "
+            "inter AS (SELECT c, t, CAST(count(*) AS BIGINT) AS ni "
+            "FROM a GROUP BY c, t), "
+            "csz AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM a GROUP BY c), "
+            "tsz AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM a GROUP BY t) "
+            "SELECT inter.c AS cluster_id, inter.t AS entity_id, ni, nc, nt "
+            "FROM inter JOIN csz ON inter.c = csz.c JOIN tsz ON inter.t = tsz.t"
+        ),
         "blocked_hosts": (
             "WITH h AS (SELECT doc_id, lower(source || '.' || lang || "
             "'.example.' || CASE WHEN doc_id % 3 = 0 THEN 'com' ELSE 'org' END) "

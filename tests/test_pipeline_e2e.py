@@ -106,3 +106,31 @@ def test_pipeline_with_snm_pass(spark, pages, tmp_path):
     assert pairs.count() >= n_base
     # canonical order holds for every unioned pair
     assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_bcubed_hand_computed(spark):
+    """B-cubed on a hand-checkable case: truth entities {1,2,3} / {4,5};
+    prediction merges 3 with {4,5} and leaves {1,2} together.
+      p(1)=p(2)=1, p(3)=1/3, p(4)=p(5)=2/3  -> P = (2 + 1/3 + 4/3)/5 = 11/15
+      r(1)=r(2)=2/3, r(3)=1/3, r(4)=r(5)=1  -> R = (4/3 + 1/3 + 2)/5 = 11/15
+    Perfect clustering scores 1.0 everywhere; the all-singletons
+    degenerate has precision 1.0 and recall = sum(1/|entity|)/n."""
+    from levsim.evaluate import bcubed
+
+    rows = [(1, "e1", "c1"), (2, "e1", "c1"), (3, "e1", "c2"),
+            (4, "e2", "c2"), (5, "e2", "c2")]
+    df = spark.createDataFrame(rows, "url long, entity_id string, cluster_id string")
+    m = bcubed(df, id_col="url")
+    assert m["n"] == 5
+    assert abs(m["precision"] - 11 / 15) < 1e-12
+    assert abs(m["recall"] - 11 / 15) < 1e-12
+    assert abs(m["f1"] - 11 / 15) < 1e-12
+    perfect = df.withColumn("cluster_id", F.col("entity_id"))
+    mp = bcubed(perfect, id_col="url")
+    assert mp["precision"] == mp["recall"] == mp["f1"] == 1.0
+    single = df.withColumn("cluster_id", F.col("url").cast("string"))
+    ms = bcubed(single, id_col="url")
+    assert ms["precision"] == 1.0
+    assert abs(ms["recall"] - (3 * (1 / 3) + 2 * (1 / 2)) / 5) < 1e-12
+    empty = spark.createDataFrame([], "url long, entity_id string, cluster_id string")
+    assert bcubed(empty, id_col="url")["f1"] == 1.0
