@@ -76,6 +76,13 @@ def main() -> None:
         predicted = evaluate.pairs_from_clusters(run.clusters, id_col="url")
         truth = evaluate.truth_pairs_from_entities(pages, id_col="url")
         report["pair_f1"] = evaluate.pair_f1(predicted, truth)
+        # cluster-level metric (round 5): B-cubed weights every RECORD
+        # equally where pairwise F1 weights clusters quadratically
+        from pyspark.sql import functions as F
+
+        assigned = run.clusters.select("url", "cluster_id").join(
+            pages.select("url", "entity_id"), "url")
+        report["bcubed"] = evaluate.bcubed(assigned, id_col="url")
     print(json.dumps(report, indent=1))
     spark.stop()
 
