@@ -1405,6 +1405,53 @@ def q_bcubed_overlap(spark, sf_dir):
     return bcubed_overlap_table(d, id_col="doc_id")
 
 
+def q_fuzzy_dict_match(spark, sf_dir):
+    """SymSpell fuzzy dictionary matching (spellmatch.fuzzy_dict_match,
+    round 5): the 50 most frequent corpus tokens form the dictionary;
+    every distinct corpus token — plus three deterministic typo families
+    per dictionary word (first char dropped, first char doubled, 'z'
+    appended), because the synthetic vocabulary contains no natural
+    near-misses — is matched within edit distance 1 via the
+    deletion-neighborhood equi-join.  The oracle BRUTE-FORCES all
+    token x dictionary pairs with DuckDB's levenshtein (byte == codepoint
+    on this ASCII corpus) — exact set equality proves the neighborhood
+    join loses no pair (recall 1.0), the PPJoin-style evidence pattern —
+    and the typo injection guarantees deletion / insertion / append
+    matches all flow through the dist=1 path, not just exact hits."""
+    from levsim.extras.spellmatch import fuzzy_dict_match
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(
+        F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("tok"))
+    dic = (
+        toks.groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
+        .select(F.col("tok").alias("word"))
+    )
+    typos = dic.select(F.explode(F.array(
+        F.expr("substring(word, 2)"),
+        F.concat(F.substring("word", 1, 1), F.col("word")),
+        F.concat(F.col("word"), F.lit("z")),
+    )).alias("tok"))
+    return fuzzy_dict_match(toks.unionByName(typos), dic, max_dist=1)
+
+
+_FUZZY_DICT_ORACLE = (
+    "WITH alltoks AS (SELECT unnest(list_filter(string_split(text, ' '), "
+    "t -> t != '')) AS tok FROM documents), "
+    "dic AS (SELECT tok AS word FROM (SELECT tok, count(*) AS n FROM alltoks "
+    "GROUP BY tok ORDER BY n DESC, tok LIMIT 50)), "
+    "typos AS (SELECT substring(word, 2) AS tok FROM dic "
+    "UNION ALL SELECT substring(word, 1, 1) || word FROM dic "
+    "UNION ALL SELECT word || 'z' FROM dic), "
+    "toks AS (SELECT DISTINCT tok FROM "
+    "(SELECT tok FROM alltoks UNION ALL SELECT tok FROM typos)) "
+    "SELECT t.tok, d.word AS match, "
+    "CAST(levenshtein(t.tok, d.word) AS BIGINT) AS dist "
+    "FROM toks t CROSS JOIN dic d WHERE levenshtein(t.tok, d.word) <= 1"
+)
+
+
 def q_canonical_selection(spark, sf_dir):
     """Post-dedup canonical-member selection (consensus.select_canonical,
     round 5): one surviving doc per (lang, source) cluster by the
@@ -2156,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "canonical_selection": q_canonical_selection,
         "bcubed_overlap": q_bcubed_overlap,
+        "fuzzy_dict_match": q_fuzzy_dict_match,
         "blocked_hosts": q_blocked_hosts,
         "c4_page_flags": q_c4_page_flags,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3469,6 +3517,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "c4_page_flags": _c4_flags_oracle_sql(),
         "cms_heavy_hitters": _cms_oracle_sql(4, 1024, 20),
+        "fuzzy_dict_match": _FUZZY_DICT_ORACLE,
         "bcubed_overlap": (
             "WITH a AS (SELECT doc_id, lang || ':' || source AS t, "
             "lang || ':' || source || "

@@ -901,6 +901,39 @@ def test_html_to_text(spark):
     assert out[0].t == "bin text"
 
 
+def test_fuzzy_dict_match_symspell(spark):
+    """SymSpell recall vs brute force at d=1 and d=2: every (token, word)
+    pair within the distance budget must survive the deletion-neighborhood
+    join (substitutions, insertions, deletions, transposed-as-2-edits),
+    and nothing beyond the budget may appear."""
+    from levsim.extras.spellmatch import deletion_variants, fuzzy_dict_match
+    from levsim.kernels import distance
+
+    words = ["spark", "table", "join", "shuffle", "filter"]
+    toks = ["spark", "sparkk", "spak", "spork", "tabel",  # tabel = transpose (d=2)
+            "joins", "jon", "shuffle", "filters", "zzz", "", "s"]
+    tdf = spark.createDataFrame([(t,) for t in toks], "tok string")
+    ddf = spark.createDataFrame([(w,) for w in words], "word string")
+    for d in (1, 2):
+        got = {(r.tok, r.match, r.dist)
+               for r in fuzzy_dict_match(tdf, ddf, max_dist=d).collect()}
+        want = {(t, w, distance(t, w)) for t in set(toks) for w in words
+                if distance(t, w) <= d}
+        assert got == want, (d, got ^ want)
+    # d=2 must include the transposition-as-2-edits case d=1 misses
+    d2 = {(r.tok, r.match) for r in fuzzy_dict_match(tdf, ddf, max_dist=2).collect()}
+    assert ("tabel", "table") in d2
+    d1 = {(r.tok, r.match) for r in fuzzy_dict_match(tdf, ddf, max_dist=1).collect()}
+    assert ("tabel", "table") not in d1
+    # variant generation edges: empty string has only itself; 1-char both
+    rows = spark.createDataFrame([("ab",), ("",), ("x",)], "s string") \
+        .select("s", deletion_variants("s", 1).alias("v")).collect()
+    vm = {r.s: sorted(r.v) for r in rows}
+    assert vm["ab"] == ["a", "ab", "b"] and vm[""] == [""] and vm["x"] == ["", "x"]
+    with pytest.raises(ValueError):
+        deletion_variants(F.col("s"), 3)
+
+
 def test_tfidf_cosine_pairs(spark):
     """IDF weighting must rank a rare-token overlap above a stopword
     overlap (raw TF cosine can't tell them apart here), and the integer
