@@ -2059,6 +2059,75 @@ def q_minhash_md5_pairs(spark, sf_dir):
                              rows_per_band=2, shingle_k=2)
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash as an ESTIMATOR, not just a bucketer (round 5): per blocked
+    pair, the number of matching signature lanes (16 md5-basis affine
+    permutations — E[match/16] = J) NEXT TO the exact distinct-shingle
+    Jaccard (inter, uni) — all exact integers, both sides replayed in SQL.
+    A wrong permutation constant, lane fold or shingle fallback shifts
+    match_lanes and breaks the hash; the (match_lanes, inter, uni) rows
+    are the estimator-quality evidence the LSH thresholds rest on."""
+    from levsim.extras.dedup import minhash_sql_sigs, word_shingles_col
+
+    d = _docs(spark, sf_dir)
+    perms = _minhash_perms(16)
+    sigs = minhash_sql_sigs(d, "doc_id", "text", perms, shingle_k=2)
+    sh = d.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(word_shingles_col(F.col("text"), 2)).alias("sh"),
+    )
+    a = sh.select("lang", "source", F.col("doc_id").alias("id_a"),
+                  F.col("sh").alias("sh_a"))
+    b = sh.select("lang", "source", F.col("doc_id").alias("id_b"),
+                  F.col("sh").alias("sh_b"))
+    p = (a.join(b, ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b",
+                 F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+                 F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("uni")))
+    sa = sigs.select(*([F.col("doc_id").alias("id_a")]
+                       + [F.col(f"s{i}").alias(f"a{i}") for i in range(16)]))
+    sb = sigs.select(*([F.col("doc_id").alias("id_b")]
+                       + [F.col(f"s{i}").alias(f"b{i}") for i in range(16)]))
+    match = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)),
+        F.lit(0),
+    )
+    return (p.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", match.cast("long").alias("match_lanes"),
+                    "inter", "uni"))
+
+
+def _minhash_est_oracle_sql() -> str:
+    P = 2147483647
+    perms = _minhash_perms(16)
+    hexpr = _MD5_HASH15.format(t="s")
+    lanes = ", ".join(
+        f"coalesce(list_min(list_transform(hm, h -> ({a} * h + {c}) % {P})), {P - 1}) AS s{i}"
+        for i, (a, c) in enumerate(perms)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, lang, source, "
+        "list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents), "
+        "shj AS (SELECT doc_id, lang, source, CASE WHEN len(tk) >= 2 THEN "
+        "list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) "
+        "ELSE tk END AS sh FROM toks), "
+        f"hm_t AS (SELECT doc_id, list_transform(sh, s -> ({hexpr}) % {P}) AS hm FROM shj), "
+        f"sigs AS (SELECT doc_id, {lanes} FROM hm_t), "
+        "dsh AS (SELECT doc_id, lang, source, list_distinct(sh) AS sh FROM shj), "
+        "p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, "
+        "CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter, "
+        "CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS uni "
+        "FROM dsh x JOIN dsh y ON x.lang = y.lang AND x.source = y.source "
+        "AND x.doc_id < y.doc_id) "
+        f"SELECT p.id_a, p.id_b, CAST({match} AS BIGINT) AS match_lanes, "
+        "p.inter, p.uni FROM p "
+        "JOIN sigs a ON a.doc_id = p.id_a JOIN sigs b ON b.doc_id = p.id_b"
+    )
+
+
 def q_char_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard over blocked pairs (near-dup metric robust
     to in-word edits) — pure column algebra, hard DuckDB oracle.  Emits the
@@ -2204,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_selection": q_canonical_selection,
         "bcubed_overlap": q_bcubed_overlap,
         "fuzzy_dict_match": q_fuzzy_dict_match,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         "blocked_hosts": q_blocked_hosts,
         "c4_page_flags": q_c4_page_flags,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3518,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_page_flags": _c4_flags_oracle_sql(),
         "cms_heavy_hitters": _cms_oracle_sql(4, 1024, 20),
         "fuzzy_dict_match": _FUZZY_DICT_ORACLE,
+        "minhash_jaccard_est": _minhash_est_oracle_sql(),
         "bcubed_overlap": (
             "WITH a AS (SELECT doc_id, lang || ':' || source AS t, "
             "lang || ':' || source || "
