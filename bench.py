@@ -62,7 +62,6 @@ def main() -> None:
     from levsim.prefilter import ratio_length_bound
     from levsim.extras.simsearch import brute_force_topk_blocked, embedding_neardup_pairs
     from levsim.extras.textstats import with_textstats
-    from levsim.prefilter import ratio_length_bound
     from levsim.udfs import lev_ratio_udf, multi_score_udf
 
     # widen the single-file scan so joins fan out over all cores

@@ -281,7 +281,10 @@ def select_canonical(
     cluster in one task).  Works for string or numeric ids (no negation
     trick, hence the join instead of one max(struct)).
 
-    Returns (cluster_col, canon_id, metric).
+    Returns (cluster_col, canon_id, metric); for ``shortest`` the metric
+    is the winning text's actual length (the negation is internal), and a
+    ``metric``-policy cluster whose metrics are all NULL still yields a
+    row (min-id fallback, NULL metric) rather than being dropped.
     """
     from pyspark.sql import functions as F
 
@@ -300,9 +303,27 @@ def select_canonical(
     scored = clustered.select(
         F.col(cluster_col), F.col(id_col), metric.alias("_m")
     )
-    best = scored.groupBy(cluster_col).agg(F.max("_m").alias("_m"))
+    best = scored.groupBy(cluster_col).agg(F.max("_m").alias("_b"))
+    best = best.withColumnRenamed(cluster_col, "_bc")
+    # Null-safe metric match (round 6, ADVICE): with policy='metric' a
+    # cluster whose every metric_col is NULL has max(_m) = NULL, and a
+    # plain equi-join on the metric would drop the whole cluster.  The
+    # <=> comparison matches NULL to NULL, so such clusters fall back to
+    # the min-id tie-break and emit a NULL metric instead of vanishing.
+    # (Rows with a NULL metric in a mixed cluster still lose to any
+    # non-NULL max, as before.)
+    out_metric = F.max("_m")
+    if policy == "shortest":
+        # _m is negated only so max() finds the shortest; report the
+        # actual length, not the comparison key (round 6, ADVICE).
+        out_metric = F.abs(F.max("_m"))
     return (
-        scored.join(best, [cluster_col, "_m"])
+        scored.join(
+            best,
+            (F.col(cluster_col) == F.col("_bc"))
+            & F.col("_m").eqNullSafe(F.col("_b")),
+        )
+        .drop("_bc")
         .groupBy(cluster_col)
-        .agg(F.min(id_col).alias("canon_id"), F.max("_m").alias("metric"))
+        .agg(F.min(id_col).alias("canon_id"), out_metric.alias("metric"))
     )

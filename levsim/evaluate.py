@@ -86,10 +86,43 @@ def bcubed(
     cluster_col: str = "cluster_id",
     truth_col: str = "entity_id",
 ) -> dict:
-    """B-cubed precision/recall/F1 from the overlap table: collects only
-    the per-overlap-cell integers (bounded by the number of overlapping
-    (cluster, entity) pairs — at most the record count, in practice ~the
-    cluster count) and finishes in exact driver-side arithmetic."""
+    """B-cubed precision/recall/F1, fully distributive (round 6, VERDICT
+    #4): both weighted sums are plain aggregates over the overlap-cell
+    table —  sum_r p(r) = sum_cells ni^2/nc  and  sum_r r(r) = sum_cells
+    ni^2/nt  — so the whole metric reduces to ONE ``agg`` returning three
+    scalars.  Nothing row-shaped ever reaches the driver: at 10^9 records
+    with fragmented clusters the old per-cell ``.collect()`` (see
+    :func:`bcubed_collected`, kept as the test cross-check) was an
+    O(#overlap-cells) driver materialization; this is O(1)."""
+    row = (
+        bcubed_overlap_table(assigned, id_col, cluster_col, truth_col)
+        .agg(
+            F.sum("ni").alias("n"),
+            F.sum(F.col("ni") * F.col("ni") / F.col("nc")).alias("sp"),
+            F.sum(F.col("ni") * F.col("ni") / F.col("nt")).alias("sr"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    if n == 0:
+        return {"n": 0, "precision": 1.0, "recall": 1.0, "f1": 1.0}
+    p = row["sp"] / n
+    rr = row["sr"] / n
+    f1 = 2 * p * rr / (p + rr) if p + rr else 0.0
+    return {"n": n, "precision": p, "recall": rr, "f1": f1}
+
+
+def bcubed_collected(
+    assigned: DataFrame,
+    id_col: str = "url",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "entity_id",
+) -> dict:
+    """The pre-round-6 driver-side formulation: collect the overlap cells
+    and finish in Python arithmetic.  Kept ONLY as the independent
+    cross-check for :func:`bcubed` (tests assert the two agree) — do not
+    use in pipelines; it materializes O(#overlap-cells) rows on the
+    driver."""
     cells = bcubed_overlap_table(assigned, id_col, cluster_col, truth_col).collect()
     n = sum(r.ni for r in cells)
     if n == 0:

@@ -1034,12 +1034,23 @@ def tfidf_cosine_pairs(
     df) while being cross-engine-exact; callers wanting ln-idf semantics
     can post-scale driver-side.
 
-    Overflow headroom: dot terms are ``(tf*idf)^2`` summed; with
-    ``idf_scale * N <= ~10^7`` and web-page tf <= ~10^3 the BIGINT bound
-    holds with >10x margin — size ``idf_scale`` DOWN as N grows (the
-    default suits corpora to ~10^4 docs; at 10^9 docs use idf_scale=1...
-    and df alone spans the needed range).  Emits exact (dot, na2, nb2)
-    BIGINTs + the derived cos, like the TF variant.
+    Overflow SAFETY (corrected round 6, ADVICE): norm terms are
+    ``(tf*idf)^2`` summed over a doc's distinct tokens, so the true safe
+    bound is ``max_w^2 * max_tokens_per_doc <= 2^63-1``, i.e.
+    ``max_tf * idf_scale * N <= ~3e9 / sqrt(T)`` (with df=1 worst case;
+    the earlier ">10x margin at idf_scale*N ~ 1e7" claim was wrong —
+    tf ~ 1e3 there gives w = 1e10 and a single squared term of 1e20,
+    already past int64, wrapping silently under non-ANSI sum).  Because
+    Spark's non-ANSI integral sum wraps with no error, this function now
+    VALIDATES the worst case up front from one cheap scalar aggregate
+    over the (doc, token) counts — max tf and max distinct tokens per
+    doc — and raises ``ValueError`` telling the caller to lower
+    ``idf_scale`` instead of returning silently-wrapped norms.  Dot terms
+    are covered by the same bound via Cauchy-Schwarz (dot <=
+    sqrt(na2*nb2)).  Size ``idf_scale`` DOWN as N grows (the default
+    suits the test corpora; at 10^9 docs use idf_scale=1 — df alone
+    spans the needed range).  Emits exact (dot, na2, nb2) BIGINTs + the
+    derived cos, like the TF variant.
     """
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     toks = docs.select(
@@ -1049,6 +1060,28 @@ def tfidf_cosine_pairs(
     )
     n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
     cnt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    cnt = cnt.localCheckpoint(eager=False)  # guard agg + dfreq + w reuse
+    # Loud overflow guard (round 6): worst-case weight is tf_max * idf_max
+    # with idf_max = idf_scale * N (df=1); worst-case norm is that squared
+    # times the widest doc's distinct-token count.  Exact Python ints — no
+    # float rounding in the check itself.  One scalar two-level aggregate,
+    # partial-aggregable, ids-only: negligible next to the pair join.
+    g = (
+        cnt.groupBy("doc_id")
+        .agg(F.max("c").alias("mc"), F.count("*").alias("nt"))
+        .agg(F.max("mc").alias("max_tf"), F.max("nt").alias("max_toks"))
+        .collect()[0]
+    )
+    max_tf = int(g["max_tf"] or 0)
+    max_toks = int(g["max_toks"] or 0)
+    worst_norm = (max_tf * idf_scale * n_docs) ** 2 * max_toks
+    if worst_norm > (1 << 63) - 1:
+        raise ValueError(
+            f"tfidf_cosine_pairs: idf_scale={idf_scale} can overflow BIGINT "
+            f"norms (worst case {worst_norm:.3e} with max_tf={max_tf}, "
+            f"N={n_docs}, max_toks/doc={max_toks}); lower idf_scale to "
+            f"<= {((1 << 63) - 1) ** 0.5 // max(1, max_tf * n_docs * max_toks ** 0.5):.0f}"
+        )
     dfreq = cnt.groupBy("tok").agg(F.count("*").alias("df"))
     w = (
         cnt.join(dfreq, "tok")

@@ -965,6 +965,25 @@ def test_tfidf_cosine_pairs(spark):
     assert out[(1, 3)].nb2 == sum(v * v for v in w3.values())
 
 
+def test_tfidf_overflow_guard(spark):
+    """Round-6 ADVICE: BIGINT-norm overflow must fail LOUDLY, not wrap.
+    A high-tf doc at a huge idf_scale puts a single squared weight past
+    int64 — the up-front worst-case validation raises with a suggested
+    safe idf_scale instead of returning wrapped norms."""
+    from levsim.extras.dedup import tfidf_cosine_pairs
+
+    hot = " ".join(["tok"] * 1000)  # tf = 1e3
+    docs = spark.createDataFrame(
+        [(1, hot), (2, "tok other")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    # worst weight = 1e3 * 1e7 * 2 = 2e10, squared 4e20 > 2^63-1
+    with pytest.raises(ValueError, match="idf_scale"):
+        tfidf_cosine_pairs(docs, pairs, idf_scale=10_000_000).collect()
+    # the default scale on the same data is fine and exact
+    out = tfidf_cosine_pairs(docs, pairs, idf_scale=1000).collect()
+    assert len(out) == 1 and out[0].dot > 0
+
+
 def test_cms_sketch_properties(spark):
     """Count-min guarantees: est >= exact always; est == exact at ample
     width (no collisions among few tokens); linear mergeability
@@ -1072,6 +1091,30 @@ def test_select_canonical_policies(spark):
         select_canonical(df, policy="best")
     with pytest.raises(ValueError):
         select_canonical(df, policy="metric")
+
+
+def test_select_canonical_null_metrics_and_shortest_abs(spark):
+    """Round-6 ADVICE fixes: (a) policy='metric' keeps clusters whose
+    metric is all-NULL (min-id fallback, NULL metric) instead of silently
+    dropping them; NULL rows in mixed clusters still lose to any value;
+    (b) policy='shortest' reports the actual winning length, not the
+    negated comparison key."""
+    from levsim.consensus import select_canonical
+
+    rows = [
+        ("c1", 1, "aa", None), ("c1", 2, "bbb", None),      # all-NULL cluster
+        ("c2", 3, "x", None), ("c2", 4, "yy", 5.0),          # mixed
+        ("c3", 9, "solo", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id string, doc_id long, norm_text string, q double")
+    got = {r.cluster_id: (r.canon_id, r.metric)
+           for r in select_canonical(df, policy="metric", metric_col="q").collect()}
+    assert got == {"c1": (1, None), "c2": (4, 5.0), "c3": (9, 1.0)}
+    got_s = {r.cluster_id: (r.canon_id, r.metric)
+             for r in select_canonical(df, policy="shortest").collect()}
+    # metric is the winning text's REAL length now
+    assert got_s == {"c1": (1, 2), "c2": (3, 1), "c3": (9, 4)}
 
 
 def test_flag_blocked_hosts(spark):

@@ -134,3 +134,22 @@ def test_bcubed_hand_computed(spark):
     assert abs(ms["recall"] - (3 * (1 / 3) + 2 * (1 / 2)) / 5) < 1e-12
     empty = spark.createDataFrame([], "url long, entity_id string, cluster_id string")
     assert bcubed(empty, id_col="url")["f1"] == 1.0
+
+
+def test_bcubed_distributive_matches_collected(spark):
+    """Round-6 VERDICT #4: the single-agg distributive bcubed must agree
+    with the retained collect-based cross-check on a fragmented random
+    clustering (many overlap cells, float-sum order differs)."""
+    from levsim.evaluate import bcubed, bcubed_collected
+
+    rows = [(i, f"e{i % 7}", f"c{(i * 13) % 11}") for i in range(400)]
+    df = spark.createDataFrame(rows, "url long, entity_id string, cluster_id string")
+    a = bcubed(df, id_col="url")
+    b = bcubed_collected(df, id_col="url")
+    assert a["n"] == b["n"] == 400
+    for k in ("precision", "recall", "f1"):
+        assert abs(a[k] - b[k]) < 1e-12, (k, a[k], b[k])
+    # and no row-shaped collect in the distributive path: plan has one agg
+    # (behavioral proxy: works on the empty frame too)
+    empty = spark.createDataFrame([], "url long, entity_id string, cluster_id string")
+    assert bcubed(empty, id_col="url") == bcubed_collected(empty, id_col="url")
