@@ -2250,6 +2250,55 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_html_charref_extract(spark, sf_dir):
+    """Numeric character references in HTML extraction (round-5 VERDICT
+    missing #4 / next #8): per doc a synthetic page is built whose refs
+    are pure functions of doc_id — a decimal ref &#(65+id%26);, a
+    lower-hex ref &#x..; for the Greek block chr(945+id%24), the two
+    single-pass interaction traps ('&amp;#65;' must stay literal '&#65;',
+    '&#38;lt;' literal '&lt;'), an out-of-range ref, a surrogate ref and
+    a malformed ref (all pass through), wrapped in comment/script/style/
+    tag noise.  html_to_text_refs (one-pass Arrow decode between JVM
+    strip and collapse stages) extracts the text; the oracle CONSTRUCTS
+    the expected output arithmetically with chr() — every arm of the
+    decoder lands in the value hash."""
+    from levsim.extras.webprep import html_to_text_refs
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    dec = (F.lit(65) + F.col("doc_id") % 26).cast("int")
+    hexcp = (F.lit(945) + F.col("doc_id") % 24).cast("long")
+    html = F.concat(
+        F.lit('<h1 class="t">Doc</h1><!-- hidden --><p>'),
+        F.lit("&#"), dec.cast("string"), F.lit("; and &#x"),
+        F.lower(F.hex(hexcp)), F.lit(";"),
+        F.lit(" mix &amp;#65; &#38;lt; &#1114112; &#xD800; bad &#; tail"),
+        F.lit('</p><script>var a="<p>&#66;";</script><style>p{}</style>'),
+    )
+    return d.select("doc_id", html_to_text_refs(html).alias("text"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 sparse-retrieval top-k (levsim/extras/retrieval.py; round-5
+    VERDICT missing #5): every 50th document's first 12 tokens become a
+    probe query ranked against the full corpus — the passage-level
+    decontamination / benchmark-ranking shape.  Scores are EXACT BIGINTs
+    via the house integer-ppm fixed point (ppm-quantized length norm,
+    floor-scaled ratio idf — both deviations documented in the module),
+    so the oracle recomputes the whole inverted-index pipeline: postings,
+    doc stats, df, per-term contrib, top-5 with doc_id tie-break."""
+    from levsim.extras.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir)
+    probes = d.where(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.filter(F.split("text", " "), lambda t: t != F.lit("")), 1, 12),
+            " ",
+        ).alias("text"),
+    )
+    return bm25_topk(d, probes, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (round-4 VERDICT #1): the driver value-checks only the
     # FIRST 50 dict entries per round, so dict order IS the evidence budget.
@@ -2262,60 +2311,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query earns a driver row at least every other round.  The five
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
+    # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
+    # window = 2 never-checked new queries + the 41 queries whose last
+    # driver green was round 4 (everything outside the r5 window) + 7
+    # r5-window keepers (3 whose code paths changed this round:
+    # canonical_selection / tfidf_cosine_pairs / bcubed_overlap; 4 with
+    # the riskiest structure: minhash bands, multimodal codecs, winnowing,
+    # span removal).  The 43 remaining r5 greens rotate to the tail.
     return {
-        # -- (1) never driver-checked: round-4 additions + new this round --
-        "multimodal_roundtrip": q_multimodal_roundtrip,
-        "warc_roundtrip": q_warc_roundtrip,
-        "bpe_merges": q_bpe_merges,
-        "bpe_apply": q_bpe_apply,
-        "html_text_extract": q_html_text_extract,
-        "winnow_dup_pairs": q_winnow_dup_pairs,
-        "dup_span_removal": q_dup_span_removal,
-        "canonical_selection": q_canonical_selection,
-        "bcubed_overlap": q_bcubed_overlap,
-        "fuzzy_dict_match": q_fuzzy_dict_match,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "blocked_hosts": q_blocked_hosts,
-        "c4_page_flags": q_c4_page_flags,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "bpe_merge_counts": q_bpe_merge_counts,
-        "contamination_overlap": q_contamination_overlap,
-        "lm_fluency_scores": q_lm_fluency_scores,
-        "repeated_line_removal": q_repeated_line_removal,
-        "dup_span_stats": q_dup_span_stats,
-        "minhash_dedup_clusters": q_minhash_dedup_clusters,
-        "exact_dup_groups": q_exact_dup_groups,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "token_sort_ratio": q_token_sort_ratio,
-        "token_set_ratio": q_token_set_ratio,
-        "partial_ratio_pairs": q_partial_ratio_pairs,
-        "osa_distance_pairs": q_osa_distance_pairs,
-        "affine_gap_pairs": q_affine_gap_pairs,
-        "seqratio_char_lists": q_seqratio_char_lists,
-        "lev_ratio_multiword": q_lev_ratio_multiword,
-        # -- (2) stale: last driver-green in round 2 --
-        "lev_ratio_trunc": q_lev_ratio_trunc,
-        "lev_ratio_unicode": q_lev_ratio_unicode,
-        "hamming_unicode": q_hamming_unicode,
-        "jaro_unicode": q_jaro_unicode,
-        "jaro_winkler_unicode": q_jaro_winkler_unicode,
-        "seqratio_chars": q_seqratio_chars,
-        "setratio_chars": q_setratio_chars,
-        "simhash_md5_pairs": q_simhash_md5_pairs,
-        "minhash_md5_pairs": q_minhash_md5_pairs,
-        "char_ngram_jaccard": q_char_ngram_jaccard,
-        "ivf_topk_exact": q_ivf_topk_exact,
-        "cosine_neardup_pairs": q_cosine_neardup_pairs,
-        # -- (3) round-4 greens: touched or structurally riskiest paths --
-        "prefix_jaccard_join": q_prefix_jaccard_join,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "block_pair_counts": q_block_pair_counts,
-        "phonetic_block_counts": q_phonetic_block_counts,
-        "topk_jw_matches": q_topk_jw_matches,
-        "cosine_topk": q_cosine_topk,
-        "cosine_topk_blocked": q_cosine_topk_blocked,
+        # -- (1) never driver-checked: new this round --
+        "html_charref_extract": q_html_charref_extract,
+        "bm25_topk": q_bm25_topk,
+        # -- (2) last driver-green in round 4 (stale, rotate back in) --
         "chain_components": q_chain_components,
         "chain_components_star": q_chain_components_star,
         "event_sessions": q_event_sessions,
@@ -2328,8 +2335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "kmv_token_sketch": q_kmv_token_sketch,
         "sample_per_group": q_sample_per_group,
-        # ---- driver window ends here (first 50 entries) ----
-        # -- tail: round-4 greens rotated out; rotate back next round --
         "lev_distance_pairs": q_lev_distance_pairs,
         "lev_distance_cutoff": q_lev_distance_cutoff,
         "jaro_pairs": q_jaro_pairs,
@@ -2359,6 +2364,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "embedding_norm": q_embedding_norm,
         "lev_distance_hint": q_lev_distance_hint,
+        # -- (3) r5-window keepers: changed code paths + riskiest structure --
+        "canonical_selection": q_canonical_selection,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "bcubed_overlap": q_bcubed_overlap,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "multimodal_roundtrip": q_multimodal_roundtrip,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "dup_span_removal": q_dup_span_removal,
+        # ---- driver window ends here (first 50 entries) ----
+        # -- tail: round-5 greens rotated out; rotate back next round --
+        "warc_roundtrip": q_warc_roundtrip,
+        "bpe_merges": q_bpe_merges,
+        "bpe_apply": q_bpe_apply,
+        "html_text_extract": q_html_text_extract,
+        "fuzzy_dict_match": q_fuzzy_dict_match,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "blocked_hosts": q_blocked_hosts,
+        "c4_page_flags": q_c4_page_flags,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bpe_merge_counts": q_bpe_merge_counts,
+        "contamination_overlap": q_contamination_overlap,
+        "lm_fluency_scores": q_lm_fluency_scores,
+        "repeated_line_removal": q_repeated_line_removal,
+        "dup_span_stats": q_dup_span_stats,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
+        "exact_dup_groups": q_exact_dup_groups,
+        "simhash_pairs": q_simhash_pairs,
+        "token_sort_ratio": q_token_sort_ratio,
+        "token_set_ratio": q_token_set_ratio,
+        "partial_ratio_pairs": q_partial_ratio_pairs,
+        "osa_distance_pairs": q_osa_distance_pairs,
+        "affine_gap_pairs": q_affine_gap_pairs,
+        "seqratio_char_lists": q_seqratio_char_lists,
+        "lev_ratio_multiword": q_lev_ratio_multiword,
+        "lev_ratio_trunc": q_lev_ratio_trunc,
+        "lev_ratio_unicode": q_lev_ratio_unicode,
+        "hamming_unicode": q_hamming_unicode,
+        "jaro_unicode": q_jaro_unicode,
+        "jaro_winkler_unicode": q_jaro_winkler_unicode,
+        "seqratio_chars": q_seqratio_chars,
+        "setratio_chars": q_setratio_chars,
+        "simhash_md5_pairs": q_simhash_md5_pairs,
+        "minhash_md5_pairs": q_minhash_md5_pairs,
+        "char_ngram_jaccard": q_char_ngram_jaccard,
+        "ivf_topk_exact": q_ivf_topk_exact,
+        "cosine_neardup_pairs": q_cosine_neardup_pairs,
+        "prefix_jaccard_join": q_prefix_jaccard_join,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "block_pair_counts": q_block_pair_counts,
+        "phonetic_block_counts": q_phonetic_block_counts,
+        "topk_jw_matches": q_topk_jw_matches,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
         # -- tail end: documented rows-only (no DuckDB oracle) --
         "lev_ratio_pairs": q_lev_ratio_pairs,
         "quickmedian_groups": q_quickmedian_groups,
@@ -3707,5 +3765,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events, "
             "min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM s GROUP BY user_id, session_no"
+        ),
+        "html_charref_extract": (
+            # constructive oracle: the expected visible text is a pure
+            # function of doc_id (chr() both engines); invalid/malformed
+            # refs survive verbatim, single-pass traps stay literal
+            "SELECT doc_id, 'Doc ' || chr(CAST(65 + (doc_id % 26) AS INTEGER)) "
+            "|| ' and ' || chr(CAST(945 + (doc_id % 24) AS INTEGER)) "
+            "|| ' mix &#65; &lt; &#1114112; &#xD800; bad &#; tail' AS text "
+            "FROM documents WHERE doc_id < 200"
+        ),
+        "bm25_topk": (
+            # full inverted-index BM25 replay in exact BIGINTs: postings /
+            # doc-length / df tables, ppm length norm, ratio idf, top-5
+            # with (score DESC, doc_id ASC) — constants mirror retrieval.py
+            # defaults (k1_ppm=1200000, b_ppm=750000, idf_scale=1000,
+            # tf_num = 1e6*(1e6+k1_ppm) = 2200000000000)
+            "WITH tkn AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t != '') AS tk "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(tk) AS tok FROM tkn), "
+            "post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY doc_id, tok), "
+            "dstat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl "
+            "FROM tok GROUP BY doc_id), "
+            "scal AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(dl) AS BIGINT) AS tl FROM dstat), "
+            "dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df "
+            "FROM post GROUP BY tok), "
+            "qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:12]) AS tok "
+            "FROM tkn WHERE doc_id % 50 = 3), "
+            "dln AS (SELECT doc_id, (1000000 * dl * (SELECT n FROM scal)) "
+            "// (SELECT tl FROM scal) AS dln FROM dstat), "
+            "hit AS (SELECT q.query_id, p.doc_id, "
+            "((1000 * (2 * (SELECT n FROM scal) - 2 * d.df + 1)) // (2 * d.df + 1)) * "
+            "((2200000000000 * p.tf) // (1000000 * p.tf + "
+            "(1200000 * (250000 + (750000 * l.dln) // 1000000)) // 1000000)) AS contrib "
+            "FROM qt q JOIN post p ON p.tok = q.tok "
+            "JOIN dfq d ON d.tok = q.tok JOIN dln l ON l.doc_id = p.doc_id), "
+            "sc AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_s "
+            "FROM hit GROUP BY query_id, doc_id), "
+            "rk AS (SELECT query_id, doc_id, score_s, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score_s DESC, doc_id ASC) AS rank FROM sc) "
+            "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_s "
+            "FROM rk WHERE rank <= 5"
         ),
     }

@@ -94,6 +94,66 @@ def html_to_text(col) -> Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
+# one-pass charref pattern: named set + decimal + hex arms.  Single regex =
+# single left-to-right scan with NO rescan of replacements — the HTML5
+# reference-decoding rule, which the sequential replace chain in
+# html_to_text cannot express ("&amp;#65;" must yield literal "&#65;",
+# "&#38;lt;" literal "&lt;").
+import re as _re
+
+_CHARREF_RE = _re.compile(
+    r"&(#[0-9]{1,8}|#[xX][0-9a-fA-F]{1,6}|nbsp|lt|gt|quot|apos|amp);"
+)
+_NAMED = {"nbsp": " ", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "amp": "&"}
+
+
+def _decode_charref_match(m) -> str:
+    body = m.group(1)
+    if body[0] != "#":
+        return _NAMED[body]
+    cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+    # HTML5 validity: reject NUL, out-of-range, and surrogate code points
+    # (a real parser substitutes U+FFFD; we keep the raw ref so nothing is
+    # silently destroyed — documented deviation)
+    if 1 <= cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+        return chr(cp)
+    return m.group(0)
+
+
+def decode_charrefs_udf():
+    """Arrow-vectorized one-pass HTML character-reference decoder (round-6
+    VERDICT #8): decodes the :data:`HTML_ENTITIES` named set plus decimal
+    ``&#NNN;`` and hex ``&#xHH;`` numeric references in ONE left-to-right
+    scan (HTML5 semantics — replacements are never rescanned).  Invalid
+    code points (0, > U+10FFFF, surrogates) and malformed refs pass
+    through unchanged.  This is the documented escape hatch for corpora
+    whose HTML carries numeric refs; the pure-column ``html_to_text``
+    remains the JVM fast path."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(s):
+        return s.map(
+            lambda t: None if t is None else _CHARREF_RE.sub(_decode_charref_match, t)
+        )
+
+    return pandas_udf(_fn, "string")
+
+
+def html_to_text_refs(col) -> Column:
+    """``html_to_text`` variant with full single-pass reference decoding
+    (named + numeric) via :func:`decode_charrefs_udf`: markup stripping
+    and whitespace collapse stay JVM-side column expressions; only the
+    decode step crosses to Python, Arrow-batched.  Use when the corpus
+    actually contains numeric charrefs; costs one ArrowEval in the chain."""
+    s = _c(col)
+    s = F.regexp_replace(s, _RE_HTML_COMMENT, " ")
+    s = F.regexp_replace(s, _RE_HTML_SCRIPT, " ")
+    s = F.regexp_replace(s, _RE_HTML_STYLE, " ")
+    s = F.regexp_replace(s, _RE_HTML_TAG, " ")
+    s = decode_charrefs_udf()(s)
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def canonical_url(col) -> Column:
     """Canonical form of an absolute http(s) URL, as one pure-column chain:
 

@@ -114,6 +114,13 @@ class ERPipeline:
     # ------------------------------------------------------------------
     def _stage(self, name: str, inputs: List[str], compute, table: SnapshotTable) -> tuple:
         sid = snapshot_id_for(name, self.cfg.params(), inputs)
+        # tag every Spark job this stage triggers so UI/REST stage metrics
+        # (shuffle bytes, spill, GC) aggregate per pipeline stage — the
+        # instrumentation behind scripts/profile_pipeline.py
+        try:
+            self.spark.sparkContext.setJobGroup(f"er_{name}", f"er stage {name}")
+        except Exception:
+            pass
         t0 = time.time()
         if table.exists(sid):
             df = table.read(self.spark, sid)

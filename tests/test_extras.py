@@ -901,6 +901,37 @@ def test_html_to_text(spark):
     assert out[0].t == "bin text"
 
 
+def test_html_to_text_refs_numeric(spark):
+    """Round-6 VERDICT #8: single-pass charref decoding.  Decimal and hex
+    arms decode; '&amp;#65;' stays LITERAL '&#65;' and '&#38;lt;' literal
+    '&lt;' (no rescan of replacements — HTML5 rule the sequential column
+    chain can't express); invalid code points (0, >10FFFF, surrogates)
+    and malformed refs pass through; markup stripping identical to
+    html_to_text."""
+    from levsim.extras.webprep import html_to_text_refs
+
+    cases = [
+        ("<p>&#65;&#66; &#x43; &#x2603;</p>", "AB C ☃"),
+        ("&amp;#65; &#38;lt; &amp;amp;", "&#65; &lt; &amp;"),
+        ("&#0; &#1114112; &#xD800; &#; &#xZZ;", "&#0; &#1114112; &#xD800; &#; &#xZZ;"),
+        ("<script>var a='&#65;';</script>&#97;fter", "after"),
+        ("&nbsp;&lt;x&gt;&quot;&apos;", '<x>"\''),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string")
+    got = {r.i: r.t
+           for r in df.select("i", html_to_text_refs("html").alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+    # python html.unescape agrees on pure numeric refs (no &amp; interaction)
+    import html as pyhtml
+    frag = "x &#120; &#x79; z"
+    one = df.sparkSession.createDataFrame([(0, frag)], "i long, html string")
+    out = one.select(html_to_text_refs("html").alias("t")).collect()[0].t
+    assert out == pyhtml.unescape(frag) == "x x y z"
+
+
 def test_fuzzy_dict_match_symspell(spark):
     """SymSpell recall vs brute force at d=1 and d=2: every (token, word)
     pair within the distance budget must survive the deletion-neighborhood
