@@ -2299,6 +2299,188 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, probes, k=5)
 
 
+# Fellegi-Sunter gamma comparisons shared by the two linkage queries and
+# their oracles: K=3 field agreements over the blocked pairs (12-char
+# prefix, 32-char length bucket, 8-char tail).  Spark `div` == DuckDB
+# `//`; `right`/`substring`/`length` agree on VARCHAR in both engines.
+_FS_GCOLS = ["g_pre", "g_len", "g_tail"]
+_FS_COMPARE_SPARK = {
+    "g_pre": "substring(text_a, 1, 12) = substring(text_b, 1, 12)",
+    "g_len": "(length(text_a) div 32) = (length(text_b) div 32)",
+    "g_tail": "right(text_a, 8) = right(text_b, 8)",
+}
+_FS_COMPARE_SQL = {
+    "g_pre": "substr(text_a, 1, 12) = substr(text_b, 1, 12)",
+    "g_len": "(length(text_a) // 32) = (length(text_b) // 32)",
+    "g_tail": "right(text_a, 8) = right(text_b, 8)",
+}
+# fixed literal params for the pair-scoring query (no EM): strongly
+# informative prefix, weak length bucket, informative tail
+_FS_FIXED_M = [950_000, 800_000, 900_000]
+_FS_FIXED_U = [5_000, 200_000, 20_000]
+_FS_FIXED_LAM = 50_000
+# low enough that every pair pattern passes at sf0.01 (min observed
+# posterior is 67, for the all-disagree pattern) — the filter stays in
+# the plan while ALL 1621 pairs land in the driver's value hash; the
+# selective-threshold behavior is unit-tested in tests/test_linkage.py
+_FS_MIN_POST = 10
+
+
+def _fs_gamma_cte() -> str:
+    """g/pc CTE suffix appended to _P_CTE: gammas + pattern counts."""
+    gexprs = ", ".join(
+        f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT) AS {name}"
+        for name, cond in _FS_COMPARE_SQL.items()
+    )
+    gl = ", ".join(_FS_GCOLS)
+    return (
+        f", g AS (SELECT id_a, id_b, {gexprs} FROM p) "
+        f", pc AS (SELECT {gl}, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM g GROUP BY {gl}) "
+    )
+
+
+def _fs_fold_sql(param_refs: list[str]) -> str:
+    """The ppm product fold over the K gamma columns, exactly mirroring
+    linkage._fold_ppm / _pattern_products: BIGINT seed, left-to-right,
+    floor div, clamp >= 1 per fold."""
+    e = "CAST(1000000 AS BIGINT)"
+    for gcol, p in zip(_FS_GCOLS, param_refs):
+        t = f"(CASE WHEN {gcol} = 1 THEN {p} ELSE 1000000 - {p} END)"
+        e = f"greatest(1, (({e}) * {t}) // 1000000)"
+    return e
+
+
+def _fs_em_oracle_sql(n_iters: int = 3) -> str:
+    """Full unrolled EM replay (linkage.fs_em) + pattern-weight table
+    (linkage.fs_pattern_weights) in exact BIGINTs — the bpe_merges-style
+    fixed-iteration SQL replay of a bounded driver-side training loop."""
+    mr = [f"em.m{j}" for j in range(1, 4)]
+    ur = [f"em.u{j}" for j in range(1, 4)]
+    sql = _P_CTE + _fs_gamma_cte()
+    sql += (
+        ", em0 AS (SELECT "
+        + ", ".join(f"CAST(900000 AS BIGINT) AS m{j}" for j in range(1, 4))
+        + ", "
+        + ", ".join(f"CAST(100000 AS BIGINT) AS u{j}" for j in range(1, 4))
+        + ", CAST(100000 AS BIGINT) AS lam) "
+    )
+    clamp = lambda v: f"least(999999, greatest(1, {v}))"  # noqa: E731
+    for i in range(1, n_iters + 1):
+        sql += (
+            f", e{i} AS (SELECT pc.*, em.lam, "
+            f"{_fs_fold_sql(mr)} AS pm, {_fs_fold_sql(ur)} AS pu "
+            f"FROM pc, em{i - 1} em) "
+            f", s{i} AS (SELECT *, (1000000 * ((lam * pm) // 1000000)) // "
+            f"greatest(1, ((lam * pm) // 1000000) + "
+            f"(((1000000 - lam) * pu) // 1000000)) AS r FROM e{i}) "
+            f", em{i} AS (SELECT "
+        )
+        parts = []
+        for j, gcol in enumerate(_FS_GCOLS, start=1):
+            num_m = f"sum(CASE WHEN {gcol} = 1 THEN r * cnt ELSE 0 END)"
+            num_u = f"sum(CASE WHEN {gcol} = 1 THEN (1000000 - r) * cnt ELSE 0 END)"
+            parts.append(
+                clamp(f"(1000000 * {num_m}) // greatest(1, sum(r * cnt))")
+                + f" AS m{j}"
+            )
+            parts.append(
+                clamp(
+                    f"(1000000 * {num_u}) // greatest(1, sum((1000000 - r) * cnt))"
+                )
+                + f" AS u{j}"
+            )
+        parts.append(
+            clamp("sum(r * cnt) // greatest(1, sum(cnt))") + " AS lam"
+        )
+        sql += ", ".join(parts) + f" FROM s{i}) "
+    gl = ", ".join(_FS_GCOLS)
+    sql += (
+        f", w AS (SELECT pc.*, em.lam, {_fs_fold_sql(mr)} AS pm_ppm, "
+        f"{_fs_fold_sql(ur)} AS pu_ppm FROM pc, em{n_iters} em) "
+        f"SELECT {gl}, cnt, pm_ppm, pu_ppm, "
+        f"(1000000 * pm_ppm) // greatest(1, pu_ppm) AS weight_ppm, "
+        f"(1000000 * ((lam * pm_ppm) // 1000000)) // "
+        f"greatest(1, ((lam * pm_ppm) // 1000000) + "
+        f"(((1000000 - lam) * pu_ppm) // 1000000)) AS posterior_ppm FROM w"
+    )
+    return sql
+
+
+def _fs_match_oracle_sql() -> str:
+    """Direct fold with the fixed literal params (linkage.fs_score_pairs)."""
+    m = [str(v) for v in _FS_FIXED_M]
+    u = [str(v) for v in _FS_FIXED_U]
+    lam = _FS_FIXED_LAM
+    gl = ", ".join(_FS_GCOLS)
+    return (
+        _P_CTE
+        + _fs_gamma_cte()
+        + f", sc AS (SELECT id_a, id_b, {gl}, "
+        f"{_fs_fold_sql(m)} AS pm_ppm, {_fs_fold_sql(u)} AS pu_ppm FROM g) "
+        f"SELECT id_a, id_b, {gl}, pm_ppm, pu_ppm, "
+        f"(1000000 * pm_ppm) // greatest(1, pu_ppm) AS weight_ppm, "
+        f"(1000000 * (({lam} * pm_ppm) // 1000000)) // "
+        f"greatest(1, (({lam} * pm_ppm) // 1000000) + "
+        f"((({1_000_000 - lam}) * pu_ppm) // 1000000)) AS posterior_ppm "
+        f"FROM sc WHERE (1000000 * (({lam} * pm_ppm) // 1000000)) // "
+        f"greatest(1, (({lam} * pm_ppm) // 1000000) + "
+        f"((({1_000_000 - lam}) * pu_ppm) // 1000000)) >= {_FS_MIN_POST}"
+    )
+
+
+def _fs_gammas(spark, sf_dir):
+    from levsim.linkage import agreement_vectors
+
+    comps = {name: F.expr(cond) for name, cond in _FS_COMPARE_SPARK.items()}
+    return agreement_vectors(_pairs(spark, sf_dir), comps)
+
+
+def q_fs_pattern_weights(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage, trained end-to-end
+    (levsim/linkage.py): K=3 field-agreement gammas on the blocked pairs,
+    ONE bounded groupBy to the <= 2^K pattern table, 3 exact-integer EM
+    iterations driver-side (Winkler 1988), and the per-pattern
+    match-weight / posterior table a practitioner thresholds on.  The
+    oracle replays EVERYTHING — gammas, pattern counts, all 3 unrolled
+    EM iterations, and the final weight fold — in BIGINT ppm arithmetic
+    (the bpe_merges pattern applied to EM training)."""
+    from levsim.linkage import fs_em, fs_pattern_weights, pattern_counts
+
+    g = _fs_gammas(spark, sf_dir)
+    pc = pattern_counts(g, _FS_GCOLS).localCheckpoint()
+    pats = [
+        (tuple(int(r[c]) for c in _FS_GCOLS), int(r["cnt"]))
+        for r in pc.collect()
+    ]
+    em = fs_em(pats, n_iters=3)
+    return fs_pattern_weights(
+        pc, _FS_GCOLS, em["m_ppm"], em["u_ppm"], em["lambda_ppm"]
+    )
+
+
+def q_fs_match_pairs(spark, sf_dir):
+    """Fellegi-Sunter pair classification at fixed literal params
+    (levsim.linkage.fs_score_pairs): the whole-stage-codegen scoring
+    path — inline ppm product folds per pair, posterior filter — with
+    every output column value-checked per pair."""
+    from levsim.linkage import fs_score_pairs
+
+    g = _fs_gammas(spark, sf_dir)
+    s = fs_score_pairs(
+        g,
+        _FS_GCOLS,
+        _FS_FIXED_M,
+        _FS_FIXED_U,
+        _FS_FIXED_LAM,
+        min_posterior_ppm=_FS_MIN_POST,
+    )
+    return s.select(
+        "id_a", "id_b", *_FS_GCOLS,
+        "pm_ppm", "pu_ppm", "weight_ppm", "posterior_ppm",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (round-4 VERDICT #1): the driver value-checks only the
     # FIRST 50 dict entries per round, so dict order IS the evidence budget.
@@ -2312,14 +2494,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 2 never-checked new queries + the 41 queries whose last
-    # driver green was round 4 (everything outside the r5 window) + 7
+    # window = 4 never-checked new queries + the 41 queries whose last
+    # driver green was round 4 (everything outside the r5 window) + 5
     # r5-window keepers (3 whose code paths changed this round:
-    # canonical_selection / tfidf_cosine_pairs / bcubed_overlap; 4 with
-    # the riskiest structure: minhash bands, multimodal codecs, winnowing,
-    # span removal).  The 43 remaining r5 greens rotate to the tail.
+    # canonical_selection / tfidf_cosine_pairs / bcubed_overlap; 2 with
+    # the riskiest structure: minhash bands, multimodal codecs).  The 45
+    # remaining r5 greens rotate to the tail.
     return {
         # -- (1) never driver-checked: new this round --
+        "fs_pattern_weights": q_fs_pattern_weights,
+        "fs_match_pairs": q_fs_match_pairs,
         "html_charref_extract": q_html_charref_extract,
         "bm25_topk": q_bm25_topk,
         # -- (2) last driver-green in round 4 (stale, rotate back in) --
@@ -2370,10 +2554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_overlap": q_bcubed_overlap,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "multimodal_roundtrip": q_multimodal_roundtrip,
-        "winnow_dup_pairs": q_winnow_dup_pairs,
-        "dup_span_removal": q_dup_span_removal,
         # ---- driver window ends here (first 50 entries) ----
         # -- tail: round-5 greens rotated out; rotate back next round --
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "dup_span_removal": q_dup_span_removal,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
@@ -3775,6 +3959,8 @@ def oracle_sql() -> dict[str, str]:
             "|| ' mix &#65; &lt; &#1114112; &#xD800; bad &#; tail' AS text "
             "FROM documents WHERE doc_id < 200"
         ),
+        "fs_pattern_weights": _fs_em_oracle_sql(),
+        "fs_match_pairs": _fs_match_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

@@ -1,0 +1,214 @@
+"""Fellegi-Sunter probabilistic linkage (levsim/linkage.py).
+
+Every Spark-side number is checked against an independent plain-Python
+integer reference of the same ppm fixed point; EM is checked for the
+textbook separation property (informative field -> m >> u) and for
+exact equality with a hand-unrolled reference implementation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from levsim.linkage import (
+    agreement_vectors,
+    fs_em,
+    fs_pattern_weights,
+    fs_score_pairs,
+    pattern_counts,
+)
+
+PPM = 1_000_000
+GC = ["g_name", "g_city", "g_zip"]
+
+
+def _fold(bits, params):
+    x = PPM
+    for g, p in zip(bits, params):
+        x = max(1, (x * (p if g else PPM - p)) // PPM)
+    return x
+
+
+def _py_scores(bits, m, u, lam):
+    pm, pu = _fold(bits, m), _fold(bits, u)
+    lm, lu = (lam * pm) // PPM, ((PPM - lam) * pu) // PPM
+    weight = (PPM * pm) // max(1, pu)
+    post = (PPM * lm) // max(1, lm + lu)
+    return pm, pu, weight, post
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    # 6 true-match pairs (agree on everything), 14 non-matches with
+    # mixed coincidental agreements, plus a NULL comparison row
+    rows = [
+        # id_a, id_b, name_a, name_b, city_a, city_b, zip_a, zip_b
+        (1, 101, "smith", "smith", "york", "york", "100", "100"),
+        (2, 102, "jones", "jones", "leeds", "leeds", "200", "200"),
+        (3, 103, "brown", "brown", "bath", "bath", "300", "300"),
+        (4, 104, "green", "green", "hull", "hull", "400", "400"),
+        (5, 105, "white", "white", "kent", "kent", "500", "500"),
+        (6, 106, "black", "black", "york", "york", "600", "600"),
+        (7, 107, "smith", "jones", "york", "bath", "100", "999"),
+        (8, 108, "brown", "white", "york", "york", "200", "999"),
+        (9, 109, "green", "black", "hull", "kent", "999", "999"),
+        (10, 110, "avery", "bligh", "york", "leeds", "300", "888"),
+        (11, 111, "casey", "drake", "bath", "bath", "400", "777"),
+        (12, 112, "ellis", "finch", "kent", "hull", "500", "666"),
+        (13, 113, "gould", "hayes", "york", "york", "600", "555"),
+        (14, 114, "irwin", "james", "leeds", "york", "700", "444"),
+        (15, 115, "kelly", "lewis", "bath", "kent", "800", "333"),
+        (16, 116, "moore", "nolan", "hull", "york", "900", "222"),
+        (17, 117, "owens", "price", "kent", "leeds", "111", "900"),
+        (18, 118, "quinn", "reese", "york", "bath", "222", "800"),
+        (19, 119, "stone", "tracy", "leeds", "hull", "333", "700"),
+        (20, 120, "unger", "vance", "bath", "york", "444", "600"),
+        (21, 121, None, "walsh", "york", "york", "555", "554"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id_a long, id_b long, name_a string, name_b string, "
+        "city_a string, city_b string, zip_a string, zip_b string",
+    )
+
+
+@pytest.fixture(scope="module")
+def gammas(pairs):
+    return agreement_vectors(
+        pairs,
+        {
+            "g_name": F.col("name_a") == F.col("name_b"),
+            "g_city": F.col("city_a") == F.col("city_b"),
+            "g_zip": F.col("zip_a") == F.col("zip_b"),
+        },
+    )
+
+
+def test_agreement_vectors_null_is_disagreement(gammas):
+    row = gammas.where(F.col("id_a") == 21).first()
+    assert (row["g_name"], row["g_city"], row["g_zip"]) == (0, 1, 0)
+
+
+def test_pattern_counts_bounded_and_exact(gammas):
+    got = {
+        (r["g_name"], r["g_city"], r["g_zip"]): r["cnt"]
+        for r in pattern_counts(gammas, GC).collect()
+    }
+    assert got[(1, 1, 1)] == 6
+    assert got[(0, 0, 0)] == 10
+    assert sum(got.values()) == 21
+    assert len(got) <= 8
+
+
+def test_pattern_counts_k_guard(gammas):
+    with pytest.raises(ValueError):
+        pattern_counts(gammas, [])
+    with pytest.raises(ValueError):
+        pattern_counts(gammas, ["g"] * 21)
+
+
+def test_fs_em_matches_hand_unrolled_reference():
+    pats = [((1, 1, 1), 6), ((0, 0, 0), 9), ((1, 0, 0), 1), ((0, 1, 0), 3)]
+    m = [900_000] * 3
+    u = [100_000] * 3
+    lam = 100_000
+    clamp = lambda v: min(PPM - 1, max(1, v))  # noqa: E731
+    for _ in range(2):
+        resp = []
+        for bits, cnt in pats:
+            pm, pu = _fold(bits, m), _fold(bits, u)
+            lm, lu = (lam * pm) // PPM, ((PPM - lam) * pu) // PPM
+            resp.append((bits, cnt, (PPM * lm) // max(1, lm + lu)))
+        s_m = sum(r * c for _, c, r in resp)
+        s_u = sum((PPM - r) * c for _, c, r in resp)
+        lam = clamp(s_m // max(1, sum(c for _, c, _ in resp)))
+        m = [
+            clamp((PPM * sum(r * c for b, c, r in resp if b[j])) // max(1, s_m))
+            for j in range(3)
+        ]
+        u = [
+            clamp((PPM * sum((PPM - r) * c for b, c, r in resp if b[j])) // max(1, s_u))
+            for j in range(3)
+        ]
+    em = fs_em(pats, n_iters=2)
+    assert em["m_ppm"] == m
+    assert em["u_ppm"] == u
+    assert em["lambda_ppm"] == lam
+    assert len(em["history"]) == 2
+
+
+def test_fs_em_separates_matches_from_nonmatches(gammas):
+    pc = pattern_counts(gammas, GC)
+    pats = [
+        (tuple(int(r[c]) for c in GC), int(r["cnt"])) for r in pc.collect()
+    ]
+    em = fs_em(pats, n_iters=5)
+    # every field is informative in the fixture: matches agree, most
+    # non-matches don't -> m_k must end far above u_k on every field
+    for mk, uk in zip(em["m_ppm"], em["u_ppm"]):
+        assert mk > 2 * uk
+    # lambda should land near the true match share 6/21 ~ 0.29
+    assert 100_000 < em["lambda_ppm"] < 600_000
+
+
+def test_fs_em_input_guard():
+    with pytest.raises(ValueError):
+        fs_em([])
+
+
+def test_pattern_weights_match_python_reference(gammas):
+    m, u, lam = [950_000, 800_000, 900_000], [5_000, 200_000, 20_000], 50_000
+    pc = pattern_counts(gammas, GC)
+    w = fs_pattern_weights(pc, GC, m, u, lam)
+    for r in w.collect():
+        bits = tuple(r[c] for c in GC)
+        pm, pu, weight, post = _py_scores(bits, m, u, lam)
+        assert (r["pm_ppm"], r["pu_ppm"]) == (pm, pu), bits
+        assert (r["weight_ppm"], r["posterior_ppm"]) == (weight, post), bits
+
+
+def test_score_pairs_matches_pattern_weights(gammas):
+    # the inline per-pair fold must agree with the per-pattern table
+    m, u, lam = [950_000, 800_000, 900_000], [5_000, 200_000, 20_000], 50_000
+    s = fs_score_pairs(gammas, GC, m, u, lam)
+    w = {
+        tuple(r[c] for c in GC): (r["weight_ppm"], r["posterior_ppm"])
+        for r in fs_pattern_weights(pattern_counts(gammas, GC), GC, m, u, lam).collect()
+    }
+    for r in s.collect():
+        assert (r["weight_ppm"], r["posterior_ppm"]) == w[tuple(r[c] for c in GC)]
+
+
+def test_score_pairs_threshold_selects_true_matches(gammas):
+    m, u, lam = [950_000, 800_000, 900_000], [5_000, 200_000, 20_000], 50_000
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fs_score_pairs(
+            gammas, GC, m, u, lam, min_posterior_ppm=500_000
+        ).collect()
+    }
+    assert got == {(i, 100 + i) for i in range(1, 7)}
+
+
+def test_score_pairs_length_guard(gammas):
+    with pytest.raises(ValueError):
+        fs_score_pairs(gammas, GC, [1, 2], [1, 2, 3], 5)
+
+
+def test_end_to_end_em_then_classify(gammas):
+    # unsupervised: train EM on the pattern table, classify at 0.5 --
+    # must recover exactly the 6 planted matches
+    pc = pattern_counts(gammas, GC)
+    pats = [
+        (tuple(int(r[c]) for c in GC), int(r["cnt"])) for r in pc.collect()
+    ]
+    em = fs_em(pats, n_iters=5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fs_score_pairs(
+            gammas, GC, em["m_ppm"], em["u_ppm"], em["lambda_ppm"],
+            min_posterior_ppm=500_000,
+        ).collect()
+    }
+    assert got == {(i, 100 + i) for i in range(1, 7)}
