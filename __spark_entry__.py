@@ -2481,6 +2481,80 @@ def q_fs_match_pairs(spark, sf_dir):
     )
 
 
+# meta-blocking driver query: three redundancy-positive blocking passes
+_MB_MAX_BLOCK = 64
+_MB_BLOCKS_SQL = (
+    "SELECT DISTINCT 'ls:' || lang || ':' || source AS bk, doc_id FROM documents "
+    "UNION SELECT DISTINCT 'ln:' || CAST(length(text) // 64 AS VARCHAR) AS bk, "
+    "doc_id FROM documents "
+    "UNION SELECT DISTINCT 'pf:' || substr(text, 1, 12) AS bk, doc_id FROM documents"
+)
+
+
+def q_meta_block_wnp(spark, sf_dir):
+    """Meta-blocking (levsim/metablocking.py, Papadakis et al. 2014):
+    three redundancy-positive blocking passes over documents —
+    (lang, source) keys, 64-char length buckets, 12-char prefixes —
+    unioned into one block assignment, purged at block size 64, edge-
+    weighted with exact-integer CBS + ARCS(ppm), then node-centric WNP
+    pruning via the BIGINT cross-multiplication test (w * degree >=
+    sum_w on either endpoint).  The oracle replays blocks, purge,
+    per-block reciprocal weights, the (id_a, id_b) groupBy, node
+    neighborhoods, and the keep predicate verbatim."""
+    from levsim.metablocking import comparison_edges, prune_edges_wnp
+
+    d = _docs(spark, sf_dir)
+    blocks = (
+        d.select(
+            F.concat(F.lit("ls:"), "lang", F.lit(":"), "source").alias("bk"),
+            "doc_id",
+        )
+        .unionByName(
+            d.select(
+                F.concat(
+                    F.lit("ln:"),
+                    F.expr("cast(length(text) div 64 as string)"),
+                ).alias("bk"),
+                "doc_id",
+            )
+        )
+        .unionByName(
+            d.select(
+                F.concat(F.lit("pf:"), F.substring("text", 1, 12)).alias("bk"),
+                "doc_id",
+            )
+        )
+    )
+    edges = comparison_edges(
+        blocks, id_col="doc_id", key_col="bk", max_block_size=_MB_MAX_BLOCK
+    )
+    return prune_edges_wnp(edges, weight_col="arcs_ppm").select(
+        "id_a", "id_b", "cbs", "arcs_ppm"
+    )
+
+
+def _meta_block_oracle_sql() -> str:
+    return (
+        f"WITH bl AS ({_MB_BLOCKS_SQL}), "
+        f"sz AS (SELECT bk, CAST(count(*) AS BIGINT) AS bsz FROM bl "
+        f"GROUP BY bk HAVING count(*) >= 2 AND count(*) <= {_MB_MAX_BLOCK}), "
+        "bw AS (SELECT bl.bk, bl.doc_id, "
+        "CAST(1000000 AS BIGINT) // (sz.bsz * (sz.bsz - 1) // 2) AS w_ppm "
+        "FROM bl JOIN sz ON bl.bk = sz.bk), "
+        "ed AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS cbs, CAST(sum(a.w_ppm) AS BIGINT) AS arcs_ppm "
+        "FROM bw a JOIN bw b ON a.bk = b.bk AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "ns AS (SELECT node, CAST(sum(w) AS BIGINT) AS sw, "
+        "CAST(count(*) AS BIGINT) AS deg FROM ("
+        "SELECT id_a AS node, arcs_ppm AS w FROM ed "
+        "UNION ALL SELECT id_b AS node, arcs_ppm AS w FROM ed) GROUP BY node) "
+        "SELECT ed.id_a, ed.id_b, ed.cbs, ed.arcs_ppm FROM ed "
+        "JOIN ns na ON na.node = ed.id_a JOIN ns nb ON nb.node = ed.id_b "
+        "WHERE ed.arcs_ppm * na.deg >= na.sw OR ed.arcs_ppm * nb.deg >= nb.sw"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (round-4 VERDICT #1): the driver value-checks only the
     # FIRST 50 dict entries per round, so dict order IS the evidence budget.
@@ -2494,16 +2568,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 4 never-checked new queries + the 41 queries whose last
-    # driver green was round 4 (everything outside the r5 window) + 5
+    # window = 5 never-checked new queries + the 41 queries whose last
+    # driver green was round 4 (everything outside the r5 window) + 4
     # r5-window keepers (3 whose code paths changed this round:
-    # canonical_selection / tfidf_cosine_pairs / bcubed_overlap; 2 with
-    # the riskiest structure: minhash bands, multimodal codecs).  The 45
-    # remaining r5 greens rotate to the tail.
+    # canonical_selection / tfidf_cosine_pairs / bcubed_overlap; 1 with
+    # the riskiest structure: minhash bands).  The 46 remaining r5
+    # greens rotate to the tail.
     return {
         # -- (1) never driver-checked: new this round --
         "fs_pattern_weights": q_fs_pattern_weights,
         "fs_match_pairs": q_fs_match_pairs,
+        "meta_block_wnp": q_meta_block_wnp,
         "html_charref_extract": q_html_charref_extract,
         "bm25_topk": q_bm25_topk,
         # -- (2) last driver-green in round 4 (stale, rotate back in) --
@@ -2553,9 +2628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bcubed_overlap": q_bcubed_overlap,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "multimodal_roundtrip": q_multimodal_roundtrip,
         # ---- driver window ends here (first 50 entries) ----
         # -- tail: round-5 greens rotated out; rotate back next round --
+        "multimodal_roundtrip": q_multimodal_roundtrip,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dup_span_removal": q_dup_span_removal,
         "warc_roundtrip": q_warc_roundtrip,
@@ -3961,6 +4036,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fs_pattern_weights": _fs_em_oracle_sql(),
         "fs_match_pairs": _fs_match_oracle_sql(),
+        "meta_block_wnp": _meta_block_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5
