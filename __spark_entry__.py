@@ -2533,6 +2533,49 @@ def q_meta_block_wnp(spark, sf_dir):
     )
 
 
+def q_monge_elkan(spark, sf_dir):
+    """Monge-Elkan hybrid comparator (levsim/hybrid.py): occurrence-
+    weighted mean over a-tokens of the best jaro against b-tokens, via
+    weighted-distinct token tables and ONE Arrow jaro crossing.  The
+    oracle replays tokenization, the 64-token cap, the token-pair cross,
+    DuckDB's own jaro_similarity (round-6/ppm parity with the C kernel
+    established by jaro_pairs), the per-token max quantized to BIGINT
+    ppm, and the integer weighted mean (quantize_ppm=True — the float
+    mean is summation-order-sensitive at the round boundary, so the
+    fixed point is the value-checked surface); pairs with an empty
+    token side surface as 0 via the left join."""
+    from levsim.hybrid import monge_elkan_pairs
+
+    return monge_elkan_pairs(
+        _pairs(spark, sf_dir), max_tokens=64, quantize_ppm=True
+    )
+
+
+def _monge_elkan_oracle_sql() -> str:
+    def side(col, alias):
+        return (
+            f"SELECT id_a, id_b, tok_{alias}, CAST(count(*) AS BIGINT) AS "
+            f"cnt_{alias} FROM (SELECT id_a, id_b, "
+            f"unnest(list_filter(string_split({col}, ' '), t -> t != '')[1:64]) "
+            f"AS tok_{alias} FROM p) GROUP BY id_a, id_b, tok_{alias}"
+        )
+
+    return (
+        _P_CTE
+        + f", ta AS ({side('text_a', 'a')}), tb AS ({side('text_b', 'b')}), "
+        "cr AS (SELECT ta.id_a, ta.id_b, ta.tok_a, ta.cnt_a, "
+        "jaro_similarity(ta.tok_a, tb.tok_b) AS sim "
+        "FROM ta JOIN tb ON ta.id_a = tb.id_a AND ta.id_b = tb.id_b), "
+        "bst AS (SELECT id_a, id_b, tok_a, cnt_a, "
+        "CAST(round(max(sim) * 1000000) AS BIGINT) AS best "
+        "FROM cr GROUP BY id_a, id_b, tok_a, cnt_a), "
+        "me AS (SELECT id_a, id_b, sum(cnt_a * best) // sum(cnt_a) AS me "
+        "FROM bst GROUP BY id_a, id_b) "
+        "SELECT p.id_a, p.id_b, CAST(coalesce(me.me, 0) AS BIGINT) AS me_ppm "
+        "FROM p LEFT JOIN me ON me.id_a = p.id_a AND me.id_b = p.id_b"
+    )
+
+
 def _meta_block_oracle_sql() -> str:
     return (
         f"WITH bl AS ({_MB_BLOCKS_SQL}), "
@@ -2568,17 +2611,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 5 never-checked new queries + the 41 queries whose last
-    # driver green was round 4 (everything outside the r5 window) + 4
-    # r5-window keepers (3 whose code paths changed this round:
-    # canonical_selection / tfidf_cosine_pairs / bcubed_overlap; 1 with
-    # the riskiest structure: minhash bands).  The 46 remaining r5
-    # greens rotate to the tail.
+    # window = 6 never-checked new queries + the 41 queries whose last
+    # driver green was round 4 (everything outside the r5 window) + 3
+    # r5-window keepers whose code paths CHANGED this round
+    # (canonical_selection / tfidf_cosine_pairs / bcubed_overlap).
+    # The 47 remaining r5 greens rotate to the tail.
     return {
         # -- (1) never driver-checked: new this round --
         "fs_pattern_weights": q_fs_pattern_weights,
         "fs_match_pairs": q_fs_match_pairs,
         "meta_block_wnp": q_meta_block_wnp,
+        "monge_elkan_pairs": q_monge_elkan,
         "html_charref_extract": q_html_charref_extract,
         "bm25_topk": q_bm25_topk,
         # -- (2) last driver-green in round 4 (stale, rotate back in) --
@@ -2627,9 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_selection": q_canonical_selection,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bcubed_overlap": q_bcubed_overlap,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
         # ---- driver window ends here (first 50 entries) ----
         # -- tail: round-5 greens rotated out; rotate back next round --
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "multimodal_roundtrip": q_multimodal_roundtrip,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "dup_span_removal": q_dup_span_removal,
@@ -4037,6 +4080,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_pattern_weights": _fs_em_oracle_sql(),
         "fs_match_pairs": _fs_match_oracle_sql(),
         "meta_block_wnp": _meta_block_oracle_sql(),
+        "monge_elkan_pairs": _monge_elkan_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5
