@@ -2576,6 +2576,106 @@ def _monge_elkan_oracle_sql() -> str:
     )
 
 
+def _minhash_clusters_oracle_sql() -> str:
+    """Band candidates -> integer-Jaccard verify -> recursive-CTE
+    min-label closure (shared by minhash_dedup_clusters and the ARI
+    query)."""
+    return (
+        "WITH cand AS (SELECT * FROM ("
+        + _minhash_pairs_oracle_sql(
+            n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED
+        )
+        + ") q), "
+        "ver AS (SELECT c.id_a, c.id_b FROM cand c "
+        "JOIN documents da ON da.doc_id = c.id_a "
+        "JOIN documents db ON db.doc_id = c.id_b "
+        "WHERE len(list_intersect(list_distinct(string_split(da.text, ' ')), "
+        "list_distinct(string_split(db.text, ' ')))) * 2 >= "
+        "len(list_distinct(list_concat(list_distinct(string_split(da.text, ' ')), "
+        "list_distinct(string_split(db.text, ' ')))))), "
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT id_a AS id FROM ver UNION SELECT id_b FROM ver)), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM ver "
+        "UNION SELECT id_b, id_a FROM ver) "
+        "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM ("
+        "WITH RECURSIVE reach(node, r) AS ("
+        "SELECT id, id FROM nodes UNION "
+        "SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node) "
+        "SELECT node, r FROM reach) GROUP BY node"
+    )
+
+
+def _ari_oracle_sql() -> str:
+    """Full ARI replay: minhash CC partition (+ singletons) vs md5
+    exact-text partition, contingency pair counts, and the clamped ppm
+    ratio (the clamp makes Spark trunc-div and DuckDB floor-div agree —
+    any negative quotient lands on 0 in both)."""
+    pairs = "CAST(sum(c * (c - 1) // 2) AS BIGINT)"
+    num = "(total_pairs * index_pairs - a_pairs * b_pairs)"
+    den = "(total_pairs * (a_pairs + b_pairs) // 2 - a_pairs * b_pairs)"
+    return (
+        f"WITH cc AS (({_minhash_clusters_oracle_sql()})), "
+        "jj AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS ca, "
+        "md5(d.text) AS cb FROM documents d "
+        "LEFT JOIN cc ON cc.doc_id = d.doc_id), "
+        f"idx AS (SELECT {pairs} AS index_pairs FROM "
+        "(SELECT ca, cb, CAST(count(*) AS BIGINT) AS c FROM jj GROUP BY ca, cb)), "
+        f"ar AS (SELECT {pairs} AS a_pairs FROM "
+        "(SELECT ca, CAST(count(*) AS BIGINT) AS c FROM jj GROUP BY ca)), "
+        f"br AS (SELECT {pairs} AS b_pairs FROM "
+        "(SELECT cb, CAST(count(*) AS BIGINT) AS c FROM jj GROUP BY cb)), "
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS total_pairs FROM jj) "
+        "SELECT n, total_pairs, index_pairs, a_pairs, b_pairs, "
+        f"CAST(CASE WHEN {den} = 0 THEN (CASE WHEN {num} = 0 THEN 1000000 "
+        f"ELSE 0 END) ELSE least(1000000, greatest(0, "
+        f"(1000000 * {num}) // {den})) END AS BIGINT) AS ari_ppm "
+        "FROM tt, idx, ar, br"
+    )
+
+
+def q_ari_minhash_exact(spark, sf_dir):
+    """Adjusted Rand Index (levsim/evaluate.py rand_components, Hubert &
+    Arabie 1985) between TWO independently-computed clusterings of the
+    corpus: minhash near-dup connected components (singletons for
+    unpaired docs) vs exact-text md5 groups.  Exercises the whole
+    evaluation shape — contingency cells, marginal pair counts, the
+    clamped ppm fixed point — against an oracle that replays the
+    minhash pipeline AND the recursive-CTE closure AND the ARI
+    arithmetic."""
+    from levsim.clustering import connected_components
+    from levsim.evaluate import rand_components
+    from levsim.extras.dedup import minhash_candidate_pairs
+
+    d = _docs(spark, sf_dir)
+    cand = minhash_candidate_pairs(
+        d, "doc_id", "text", rows_per_band=2, shingle_k=2
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    ta = F.array_distinct(F.split("text_a", " "))
+    tb = F.array_distinct(F.split("text_b", " "))
+    ver = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .where(
+            F.size(F.array_intersect(ta, tb)) * 2
+            >= F.size(F.array_union(ta, tb))
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(ver).select("doc_id", "cluster_id")
+    part_a = (
+        d.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_a"),
+        )
+    )
+    part_b = d.select("doc_id", F.md5(F.col("text")).alias("cluster_b"))
+    return rand_components(part_a, part_b)
+
+
 def _meta_block_oracle_sql() -> str:
     return (
         f"WITH bl AS ({_MB_BLOCKS_SQL}), "
@@ -2611,17 +2711,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 6 never-checked new queries + the 41 queries whose last
-    # driver green was round 4 (everything outside the r5 window) + 3
-    # r5-window keepers whose code paths CHANGED this round
-    # (canonical_selection / tfidf_cosine_pairs / bcubed_overlap).
-    # The 47 remaining r5 greens rotate to the tail.
+    # window = 7 never-checked new queries + the 41 queries whose last
+    # driver green was round 4 (everything outside the r5 window) + 2
+    # r5-window keepers whose VALUE paths changed this round
+    # (canonical_selection / bcubed_overlap; tfidf's round-6 change was
+    # an error-path guard only, so it rotates to the tail).  The 48
+    # remaining r5 greens follow in the tail.
     return {
         # -- (1) never driver-checked: new this round --
         "fs_pattern_weights": q_fs_pattern_weights,
         "fs_match_pairs": q_fs_match_pairs,
         "meta_block_wnp": q_meta_block_wnp,
         "monge_elkan_pairs": q_monge_elkan,
+        "ari_minhash_exact": q_ari_minhash_exact,
         "html_charref_extract": q_html_charref_extract,
         "bm25_topk": q_bm25_topk,
         # -- (2) last driver-green in round 4 (stale, rotate back in) --
@@ -2668,10 +2770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_distance_hint": q_lev_distance_hint,
         # -- (3) r5-window keepers: changed code paths + riskiest structure --
         "canonical_selection": q_canonical_selection,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "bcubed_overlap": q_bcubed_overlap,
         # ---- driver window ends here (first 50 entries) ----
         # -- tail: round-5 greens rotated out; rotate back next round --
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "multimodal_roundtrip": q_multimodal_roundtrip,
         "winnow_dup_pairs": q_winnow_dup_pairs,
@@ -3857,27 +3959,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents) "
             "GROUP BY t HAVING count(*) > 1"
         ),
-        "minhash_dedup_clusters": (
-            "WITH cand AS (SELECT * FROM (" + _minhash_pairs_oracle_sql(
-                n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED)
-            + ") q), "
-            "ver AS (SELECT c.id_a, c.id_b FROM cand c "
-            "JOIN documents da ON da.doc_id = c.id_a "
-            "JOIN documents db ON db.doc_id = c.id_b "
-            "WHERE len(list_intersect(list_distinct(string_split(da.text, ' ')), "
-            "list_distinct(string_split(db.text, ' ')))) * 2 >= "
-            "len(list_distinct(list_concat(list_distinct(string_split(da.text, ' ')), "
-            "list_distinct(string_split(db.text, ' ')))))), "
-            "nodes AS (SELECT DISTINCT id FROM "
-            "(SELECT id_a AS id FROM ver UNION SELECT id_b FROM ver)), "
-            "edges AS (SELECT id_a AS u, id_b AS v FROM ver "
-            "UNION SELECT id_b, id_a FROM ver) "
-            "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM ("
-            "WITH RECURSIVE reach(node, r) AS ("
-            "SELECT id, id FROM nodes UNION "
-            "SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node) "
-            "SELECT node, r FROM reach) GROUP BY node"
-        ),
+        "minhash_dedup_clusters": _minhash_clusters_oracle_sql(),
         "minhash_dedup_pairs": _minhash_pairs_oracle_sql(
             n_perm=64, rows_per_band=2, shingle_k=2, seed=0x5EED),
         "simhash_pairs": _simhash_pairs_oracle_sql(max_hamming=8),
@@ -4081,6 +4163,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_match_pairs": _fs_match_oracle_sql(),
         "meta_block_wnp": _meta_block_oracle_sql(),
         "monge_elkan_pairs": _monge_elkan_oracle_sql(),
+        "ari_minhash_exact": _ari_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

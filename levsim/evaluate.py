@@ -131,3 +131,108 @@ def bcubed_collected(
     rr = sum(r.ni * r.ni / r.nt for r in cells) / n
     f1 = 2 * p * rr / (p + rr) if p + rr else 0.0
     return {"n": n, "precision": p, "recall": rr, "f1": f1}
+
+
+def rand_components(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "cluster_a",
+    b_col: str = "cluster_b",
+) -> DataFrame:
+    """Adjusted Rand Index between two clusterings of the same records,
+    as ONE row of exact BIGINT components (Hubert & Arabie 1985).
+
+    Everything is pair-count arithmetic over the contingency table —
+    index = sum_ij C(n_ij,2), a_pairs = sum_i C(n_i.,2), b_pairs =
+    sum_j C(n_.j,2), total_pairs = C(n,2) — three Theta(n) groupBys
+    plus scalar aggregates, the same fully-distributive shape as
+    :func:`bcubed` (nothing row-shaped reaches the driver; at 10^9
+    records the contingency table never materializes beyond its own
+    grouped aggregation).
+
+    ``ari_ppm`` is the house cross-engine fixed point: multiply the
+    standard ARI = (index - expected) / (max_index - expected) through
+    by total_pairs to stay integral —
+
+        ari_ppm = 1e6 * (T*index - A*B) div (T*(A+B) div 2 - A*B)
+
+    floor-div throughout, clamped to [0, 1e6].  The clamp matters for
+    cross-engine exactness: Spark ``div`` truncates toward zero while
+    DuckDB ``//`` floors, which diverge ONLY on negative quotients —
+    clamping at 0 (anti-correlated partitions score 0) keeps every
+    replayed value in the agreeing non-negative range.  A degenerate
+    denominator (both partitions all-singletons or one cluster) scores
+    1e6 iff the numerator is also 0 (identical partitions), else 0.
+    """
+    j = (
+        a.select(F.col(id_col).alias("_id"), F.col(a_col).alias("_ca"))
+        .join(
+            b.select(F.col(id_col).alias("_id"), F.col(b_col).alias("_cb")),
+            "_id",
+        )
+    )
+    pairs = "sum(c * (c - 1) div 2)"
+    idx = (
+        j.groupBy("_ca", "_cb")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.expr(pairs).cast("long").alias("index_pairs"))
+    )
+    ap = (
+        j.groupBy("_ca")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.expr(pairs).cast("long").alias("a_pairs"))
+    )
+    bp = (
+        j.groupBy("_cb")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.expr(pairs).cast("long").alias("b_pairs"))
+    )
+    tot = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("count(*) * (count(*) - 1) div 2").cast("long").alias(
+            "total_pairs"
+        ),
+    )
+    num = "(total_pairs * index_pairs - a_pairs * b_pairs)"
+    den = "(total_pairs * (a_pairs + b_pairs) div 2 - a_pairs * b_pairs)"
+    ari = (
+        f"cast(case when {den} = 0 then (case when {num} = 0 then 1000000 "
+        f"else 0 end) else least(1000000, greatest(0, "
+        f"(1000000 * {num}) div {den})) end as bigint)"
+    )
+    return (
+        tot.crossJoin(idx)
+        .crossJoin(ap)
+        .crossJoin(bp)
+        .select(
+            "n", "total_pairs", "index_pairs", "a_pairs", "b_pairs",
+            F.expr(ari).alias("ari_ppm"),
+        )
+    )
+
+
+def adjusted_rand(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "cluster_a",
+    b_col: str = "cluster_b",
+) -> dict:
+    """Production ARI: collect the ONE component row and finish the
+    ratio in Python bigints — exact at any n.  (The in-frame ``ari_ppm``
+    column multiplies through by total_pairs, so inside SQL it needs
+    T*index <= 2^63; past n ~ 7.8e4 ANSI mode raises loudly there,
+    while this path never overflows.)  Returns the exact components
+    plus float ``ari``."""
+    r = rand_components(a, b, id_col, a_col, b_col).collect()[0]
+    t, idx = int(r["total_pairs"]), int(r["index_pairs"])
+    ap, bp = int(r["a_pairs"]), int(r["b_pairs"])
+    # exact rational (no ppm floor): ARI = 2*num / (T*(A+B) - 2*A*B)
+    num = t * idx - ap * bp
+    den2 = t * (ap + bp) - 2 * ap * bp
+    ari = 1.0 if den2 == 0 and num == 0 else (2 * num / den2 if den2 else 0.0)
+    return {
+        "n": int(r["n"]), "total_pairs": t, "index_pairs": idx,
+        "a_pairs": ap, "b_pairs": bp, "ari": ari,
+    }

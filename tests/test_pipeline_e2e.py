@@ -153,3 +153,51 @@ def test_bcubed_distributive_matches_collected(spark):
     # (behavioral proxy: works on the empty frame too)
     empty = spark.createDataFrame([], "url long, entity_id string, cluster_id string")
     assert bcubed(empty, id_col="url") == bcubed_collected(empty, id_col="url")
+
+
+def test_adjusted_rand_hand_computed(spark):
+    # classic example: n=6, A = {1,2,3|4,5,6}, B = {1,2|3,4,5,6}
+    # cells: (a1,b1)=2 (a1,b2)=1 (a2,b2)=3 -> index = 1 + 0 + 3 = 4
+    # a_pairs = 3+3 = 6; b_pairs = 1+6 = 7; total = 15
+    # ARI = (15*4 - 42) / (15*13//2 - 42) = 18 / 55.5 -> with the ppm
+    # floor fixed point: den = (15*13) div 2 - 42 = 97 - 42 = 55
+    a = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 2) for i in range(1, 7)],
+        "doc_id long, cluster_a long",
+    )
+    b = spark.createDataFrame(
+        [(i, 10 if i <= 2 else 20) for i in range(1, 7)],
+        "doc_id long, cluster_b long",
+    )
+    row = evaluate.rand_components(a, b).collect()[0]
+    assert (row["n"], row["total_pairs"]) == (6, 15)
+    assert (row["index_pairs"], row["a_pairs"], row["b_pairs"]) == (4, 6, 7)
+    assert row["ari_ppm"] == (1_000_000 * 18) // 55
+    d = evaluate.adjusted_rand(a, b)
+    assert d["ari"] == pytest.approx(18 / 55.5)
+
+
+def test_adjusted_rand_identical_and_degenerate(spark):
+    a = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 8)], "doc_id long, cluster_a long"
+    )
+    same = a.withColumnRenamed("cluster_a", "cluster_b")
+    assert evaluate.rand_components(a, same).collect()[0]["ari_ppm"] == 1_000_000
+    assert evaluate.adjusted_rand(a, same)["ari"] == 1.0
+    # all-singletons vs all-singletons: degenerate denominator, identical
+    s1 = spark.createDataFrame(
+        [(i, i) for i in range(5)], "doc_id long, cluster_a long"
+    )
+    s2 = s1.withColumnRenamed("cluster_a", "cluster_b")
+    assert evaluate.rand_components(s1, s2).collect()[0]["ari_ppm"] == 1_000_000
+    # anti-correlated-ish: ARI can go negative -> clamped to 0 in ppm,
+    # float path reports the signed value
+    x = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2)], "doc_id long, cluster_a long"
+    )
+    y = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 1), (4, 2)], "doc_id long, cluster_b long"
+    )
+    row = evaluate.rand_components(x, y).collect()[0]
+    assert row["ari_ppm"] == 0
+    assert evaluate.adjusted_rand(x, y)["ari"] < 0
