@@ -2576,6 +2576,244 @@ def _monge_elkan_oracle_sql() -> str:
     )
 
 
+def q_soft_tfidf(spark, sf_dir):
+    """SoftTFIDF (Cohen/Ravikumar/Fienberg 2003; levsim/hybrid.py
+    soft_tfidf_pairs) over 12-token document prefixes: linear floor-scaled
+    integer idf weights (idf_scale=1 — the BIGINT guard's safe setting at
+    every SF), jaro_winkler quantized to ppm (round-6 DuckDB parity
+    established by jaro_winkler_pairs), theta=0.90 gate, max/argmax-max
+    tie resolution.  The oracle replays tokenization, df, weights, the
+    token-pair cross through DuckDB's own jaro_winkler_similarity, the
+    CLOSE filter, best-match resolution, the exact BIGINT dot/norms, and
+    the one-IEEE-tree soft_sim quotient."""
+    from levsim.hybrid import soft_tfidf_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")),
+                1, 12,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    pairs = _pairs(spark, sf_dir).select("id_a", "id_b")
+    return soft_tfidf_pairs(d, pairs, theta_ppm=900_000, idf_scale=1)
+
+
+def _soft_tfidf_oracle_sql() -> str:
+    return (
+        "WITH dt AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t != '')[1:12] AS tl "
+        "FROM documents), "
+        "tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT doc_id, unnest(tl) AS tok FROM dt) GROUP BY doc_id, tok), "
+        "dfq AS (SELECT tok, count(*) AS df FROM tc GROUP BY tok), "
+        "nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents), "
+        "w AS (SELECT tc.doc_id, tc.tok, "
+        "CAST(tc.c * ((1 * nn.n) // dfq.df) AS BIGINT) AS w "
+        "FROM tc JOIN dfq ON dfq.tok = tc.tok CROSS JOIN nn), "
+        "nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w "
+        "GROUP BY doc_id), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+        "JOIN documents b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id), "
+        "cr AS (SELECT p.id_a, p.id_b, wa.tok AS tok_a, wa.w AS wa, wb.w AS wb, "
+        "CAST(round(jaro_winkler_similarity(wa.tok, wb.tok) * 1000000) AS BIGINT) "
+        "AS ppm FROM p JOIN w wa ON wa.doc_id = p.id_a "
+        "JOIN w wb ON wb.doc_id = p.id_b), "
+        "cl AS (SELECT * FROM cr WHERE ppm >= 900000), "
+        "bst AS (SELECT id_a, id_b, tok_a, wa, max(ppm) AS bj FROM cl "
+        "GROUP BY id_a, id_b, tok_a, wa), "
+        "bw AS (SELECT c.id_a, c.id_b, c.tok_a, c.wa, b.bj, max(c.wb) AS wbb "
+        "FROM cl c JOIN bst b ON b.id_a = c.id_a AND b.id_b = c.id_b "
+        "AND b.tok_a = c.tok_a AND b.wa = c.wa AND c.ppm = b.bj "
+        "GROUP BY c.id_a, c.id_b, c.tok_a, c.wa, b.bj), "
+        "dot AS (SELECT id_a, id_b, CAST(sum(wa * wbb * bj) AS BIGINT) AS dp "
+        "FROM bw GROUP BY id_a, id_b) "
+        "SELECT p.id_a, p.id_b, CAST(coalesce(dp, 0) AS BIGINT) AS dot_ppm, "
+        "na.n2 AS na2, nb.n2 AS nb2, "
+        "CAST(coalesce(dp, 0) AS BIGINT) / 1000000.0 / "
+        "sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) AS soft_sim "
+        "FROM p JOIN nrm na ON na.doc_id = p.id_a "
+        "JOIN nrm nb ON nb.doc_id = p.id_b "
+        "LEFT JOIN dot ON dot.id_a = p.id_a AND dot.id_b = p.id_b"
+    )
+
+
+def q_pivot_clusters(spark, sf_dir):
+    """Parallel pivot correlation clustering (KwikCluster — Ailon et al.
+    2008 / CDK KDD'14; levsim/clustering.py pivot_clustering) on the
+    chain+skip graph (lead-1 and lead-2 edges within (lang, source)):
+    triangles + paths make pivot choice and peeling order nontrivial.
+    exact_rounds=4 is the bounded-unroll oracle surface (the bpe_merges
+    replay pattern): the oracle unrolls 4 peel rounds — md5 permutation
+    ranks, per-node min-neighbor, the (rank, id) pivot test, min-pivot
+    assignment, set subtraction — and still-active nodes compare as NULL
+    rows, so both engines agree on the full state whether or not the
+    graph finished.  Sequential-greedy equivalence is property-tested in
+    tests/test_pivot_clustering.py."""
+    from levsim.clustering import pivot_clustering
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    e1 = (
+        d.withColumn("nid", F.lead("doc_id", 1).over(w))
+        .where(F.col("nid").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("nid").alias("id_b"))
+    )
+    e2 = (
+        d.withColumn("nid", F.lead("doc_id", 2).over(w))
+        .where(F.col("nid").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("nid").alias("id_b"))
+    )
+    return pivot_clustering(e1.union(e2), rank_seed=42, exact_rounds=4)
+
+
+def _pivot_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled replay of pivot_clustering's C4 waiting-rule rounds: per
+    round — unresolved-neighbor minima, the (bp IS NULL ∧ (rank, id) <
+    min-neighbor) pivot test, best-pivot fold, the pivot-excluded
+    neighbor minimum, and the finalize-only-when-safe rule — as plain
+    two-step min/argmin aggregates (no struct comparisons needed)."""
+    rank = _MD5_HASH15.format(t="CAST(id AS VARCHAR) || ':42'")
+    sql = (
+        "WITH d0 AS (SELECT doc_id, "
+        "lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2 "
+        "FROM documents WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id)), "
+        "eraw AS (SELECT doc_id AS s, n1 AS d FROM d0 WHERE n1 IS NOT NULL "
+        "UNION ALL SELECT doc_id, n2 FROM d0 WHERE n2 IS NOT NULL), "
+        "e AS MATERIALIZED (SELECT DISTINCT s, d FROM eraw WHERE s != d), "
+        "n0 AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT s AS id FROM eraw UNION SELECT d FROM eraw)), "
+        f"a1 AS MATERIALIZED (SELECT id, {rank} AS r, CAST(NULL AS BIGINT) AS brv, "
+        "CAST(NULL AS BIGINT) AS bv FROM n0)"
+    )
+    for k in range(1, rounds + 1):
+        sql += (
+            f", nb{k} AS MATERIALIZED ("
+            f"SELECT x.id AS u, x.r AS ru, y.id AS v, y.r AS rv FROM e "
+            f"JOIN a{k} x ON x.id = e.s JOIN a{k} y ON y.id = e.d "
+            f"UNION ALL SELECT y.id, y.r, x.id, x.r FROM e "
+            f"JOIN a{k} x ON x.id = e.s JOIN a{k} y ON y.id = e.d), "
+            # min (rank, id) over unresolved neighbors
+            f"nm1{k} AS MATERIALIZED (SELECT u, min(rv) AS mrv FROM nb{k} GROUP BY u), "
+            f"nm{k} AS MATERIALIZED (SELECT nb.u, nm.mrv, min(nb.v) AS mv FROM nb{k} nb "
+            f"JOIN nm1{k} nm ON nm.u = nb.u AND nb.rv = nm.mrv "
+            f"GROUP BY nb.u, nm.mrv), "
+            # pivot test: no recorded pivot neighbor AND precedes all
+            f"pv{k} AS MATERIALIZED (SELECT a.id FROM a{k} a LEFT JOIN nm{k} m ON m.u = a.id "
+            f"WHERE a.bv IS NULL AND (m.u IS NULL OR a.r < m.mrv "
+            f"OR (a.r = m.mrv AND a.id < m.mv))), "
+            # min (rank, id) over THIS round's pivot neighbors
+            f"pn{k} AS MATERIALIZED (SELECT nb.u, nb.rv, nb.v FROM nb{k} nb "
+            f"JOIN pv{k} p ON p.id = nb.v), "
+            f"pm1{k} AS MATERIALIZED (SELECT u, min(rv) AS prv FROM pn{k} GROUP BY u), "
+            f"pm{k} AS MATERIALIZED (SELECT pn.u, pm.prv, min(pn.v) AS pvid FROM pn{k} pn "
+            f"JOIN pm1{k} pm ON pm.u = pn.u AND pn.rv = pm.prv "
+            f"GROUP BY pn.u, pm.prv), "
+            # non-pivots carry forward the lexicographic best pivot so far
+            f"rs{k} AS MATERIALIZED (SELECT a.id, a.r, "
+            f"CASE WHEN pm.u IS NULL THEN a.brv WHEN a.bv IS NULL THEN pm.prv "
+            f"WHEN a.brv < pm.prv OR (a.brv = pm.prv AND a.bv <= pm.pvid) "
+            f"THEN a.brv ELSE pm.prv END AS brv, "
+            f"CASE WHEN pm.u IS NULL THEN a.bv WHEN a.bv IS NULL THEN pm.pvid "
+            f"WHEN a.brv < pm.prv OR (a.brv = pm.prv AND a.bv <= pm.pvid) "
+            f"THEN a.bv ELSE pm.pvid END AS bv "
+            f"FROM a{k} a LEFT JOIN pm{k} pm ON pm.u = a.id "
+            f"LEFT JOIN pv{k} p ON p.id = a.id WHERE p.id IS NULL), "
+            # neighbor minimum excluding this round's pivots
+            f"nbx{k} AS MATERIALIZED (SELECT nb.u, nb.rv, nb.v FROM nb{k} nb "
+            f"LEFT JOIN pv{k} p1 ON p1.id = nb.u LEFT JOIN pv{k} p2 ON p2.id = nb.v "
+            f"WHERE p1.id IS NULL AND p2.id IS NULL), "
+            f"nx1{k} AS MATERIALIZED (SELECT u, min(rv) AS xrv FROM nbx{k} GROUP BY u), "
+            f"nx{k} AS MATERIALIZED (SELECT nb.u, nx.xrv, min(nb.v) AS xv FROM nbx{k} nb "
+            f"JOIN nx1{k} nx ON nx.u = nb.u AND nb.rv = nx.xrv "
+            f"GROUP BY nb.u, nx.xrv), "
+            # finalize when no unresolved neighbor precedes the best pivot
+            f"sg{k} AS MATERIALIZED (SELECT r.id, r.bv AS cl FROM rs{k} r "
+            f"LEFT JOIN nx{k} m ON m.u = r.id "
+            f"WHERE r.bv IS NOT NULL AND (m.u IS NULL OR r.brv < m.xrv "
+            f"OR (r.brv = m.xrv AND r.bv < m.xv))), "
+            f"dn{k} AS MATERIALIZED (SELECT id, id AS cl FROM pv{k} "
+            f"UNION ALL SELECT id, cl FROM sg{k}), "
+            f"a{k + 1} AS MATERIALIZED (SELECT r.id, r.r, r.brv, r.bv FROM rs{k} r "
+            f"LEFT JOIN sg{k} s ON s.id = r.id WHERE s.id IS NULL)"
+        )
+    done = " UNION ALL ".join(
+        f"SELECT id AS doc_id, cl AS cluster_id, {k} AS assigned_round FROM dn{k}"
+        for k in range(1, rounds + 1)
+    )
+    sql += (
+        f" SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+        f"CAST(assigned_round AS INTEGER) AS assigned_round FROM ({done} "
+        f"UNION ALL SELECT id, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER) "
+        f"FROM a{rounds + 1})"
+    )
+    return sql
+
+
+def q_cluster_edge_stats(spark, sf_dir):
+    """Per-cluster graph-quality diagnostics (levsim/clustering.py
+    cluster_edge_stats): clusters = (lang, source) groups labeled by their
+    window-min doc_id; the similarity graph adds lead-1 edges within
+    (lang) ONLY, so edges crossing source boundaries inside a language
+    exercise n_edges_out on both touching clusters.  density_ppm is the
+    exact integer 2E*1e6 DIV n(n-1); singletons surface NULL."""
+    from levsim.clustering import cluster_edge_stats
+
+    d = _docs(spark, sf_dir)
+    ws = Window.partitionBy("lang", "source").orderBy("doc_id")
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    comps = d.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("lang", "source")).alias("cluster_id"),
+    )
+    edges = None
+    for win, off in ((ws, 1), (ws, 2), (wl, 1)):
+        e = (
+            d.withColumn("nid", F.lead("doc_id", off).over(win))
+            .where(F.col("nid").isNotNull())
+            .select(F.col("doc_id").alias("id_a"), F.col("nid").alias("id_b"))
+        )
+        edges = e if edges is None else edges.union(e)
+    return cluster_edge_stats(comps, edges)
+
+
+def _cluster_edge_stats_oracle_sql() -> str:
+    return (
+        "WITH comp AS (SELECT doc_id, min(doc_id) OVER "
+        "(PARTITION BY lang, source) AS cluster_id FROM documents), "
+        "d0 AS (SELECT doc_id, "
+        "lead(doc_id, 1) OVER ws AS n1, lead(doc_id, 2) OVER ws AS n2, "
+        "lead(doc_id, 1) OVER wl AS n3 FROM documents "
+        "WINDOW ws AS (PARTITION BY lang, source ORDER BY doc_id), "
+        "wl AS (PARTITION BY lang ORDER BY doc_id)), "
+        "eraw AS (SELECT doc_id AS x, n1 AS y FROM d0 WHERE n1 IS NOT NULL "
+        "UNION ALL SELECT doc_id, n2 FROM d0 WHERE n2 IS NOT NULL "
+        "UNION ALL SELECT doc_id, n3 FROM d0 WHERE n3 IS NOT NULL), "
+        "e AS (SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS d "
+        "FROM eraw WHERE x != y), "
+        "je AS (SELECT ca.cluster_id AS ca, cb.cluster_id AS cb FROM e "
+        "JOIN comp ca ON ca.doc_id = e.s JOIN comp cb ON cb.doc_id = e.d), "
+        "win AS (SELECT ca AS cluster_id, count(*) AS w FROM je "
+        "WHERE ca = cb GROUP BY ca), "
+        "outx AS (SELECT cluster_id, count(*) AS o FROM "
+        "(SELECT ca AS cluster_id FROM je WHERE ca != cb "
+        "UNION ALL SELECT cb FROM je WHERE ca != cb) GROUP BY cluster_id), "
+        "sz AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) "
+        "SELECT sz.cluster_id, CAST(sz.n AS BIGINT) AS n_nodes, "
+        "CAST(coalesce(win.w, 0) AS BIGINT) AS n_edges_within, "
+        "CAST(coalesce(outx.o, 0) AS BIGINT) AS n_edges_out, "
+        "CAST(CASE WHEN sz.n > 1 THEN "
+        "2 * 1000000 * coalesce(win.w, 0) // (sz.n * (sz.n - 1)) END AS BIGINT) "
+        "AS density_ppm "
+        "FROM sz LEFT JOIN win ON win.cluster_id = sz.cluster_id "
+        "LEFT JOIN outx ON outx.cluster_id = sz.cluster_id"
+    )
+
+
 def _minhash_clusters_oracle_sql() -> str:
     """Band candidates -> integer-Jaccard verify -> recursive-CTE
     min-label closure (shared by minhash_dedup_clusters and the ARI
@@ -2711,14 +2949,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 7 never-checked new queries + the 41 queries whose last
-    # driver green was round 4 (everything outside the r5 window) + 2
-    # r5-window keepers whose VALUE paths changed this round
-    # (canonical_selection / bcubed_overlap; tfidf's round-6 change was
-    # an error-path guard only, so it rotates to the tail).  The 48
-    # remaining r5 greens follow in the tail.
+    # window = 10 never-checked new queries + 38 of the 41 queries whose
+    # last driver green was round 4 + 2 r5-window keepers whose VALUE
+    # paths changed this round (canonical_selection / bcubed_overlap;
+    # tfidf's round-6 change was an error-path guard only, so it rotates
+    # to the tail).  With 101 oracled queries and a 50-slot window the
+    # budget is now oversubscribed by 3: the displaced r4-greens
+    # (median_improve_chars, lang_id_ngram, embedding_norm — each trivial
+    # or sibling-covered: median_chars/quickmedian share the median code
+    # path, lang_id_pred shares the lang-id path, embedding_norm is one
+    # arithmetic HOF) age to two rounds and rotate first in r7; all three
+    # retain same-round local-gate value checks (CORRECTNESS_local_r06).
     return {
         # -- (1) never driver-checked: new this round --
+        "soft_tfidf_pairs": q_soft_tfidf,
+        "pivot_clusters": q_pivot_clusters,
+        "cluster_edge_stats": q_cluster_edge_stats,
         "fs_pattern_weights": q_fs_pattern_weights,
         "fs_match_pairs": q_fs_match_pairs,
         "meta_block_wnp": q_meta_block_wnp,
@@ -2749,7 +2995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_weighted_asym": q_lev_weighted_asym,
         "quickmedian_chars": q_quickmedian_chars,
         "median_chars": q_median_chars,
-        "median_improve_chars": q_median_improve_chars,
         "length_histogram": q_length_histogram,
         "distinct_text_stats": q_distinct_text_stats,
         "token_stats_lang": q_token_stats_lang,
@@ -2764,15 +3009,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
         "lang_id_pred": q_lang_id_pred,
-        "lang_id_ngram": q_lang_id_ngram,
         "fingerprint_docs": q_fingerprint_docs,
-        "embedding_norm": q_embedding_norm,
         "lev_distance_hint": q_lev_distance_hint,
         # -- (3) r5-window keepers: changed code paths + riskiest structure --
         "canonical_selection": q_canonical_selection,
         "bcubed_overlap": q_bcubed_overlap,
         # ---- driver window ends here (first 50 entries) ----
-        # -- tail: round-5 greens rotated out; rotate back next round --
+        # -- tail: displaced r4-greens (rotate FIRST in r7), then r5 greens --
+        "median_improve_chars": q_median_improve_chars,
+        "lang_id_ngram": q_lang_id_ngram,
+        "embedding_norm": q_embedding_norm,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "multimodal_roundtrip": q_multimodal_roundtrip,
@@ -4164,6 +4410,9 @@ def oracle_sql() -> dict[str, str]:
         "meta_block_wnp": _meta_block_oracle_sql(),
         "monge_elkan_pairs": _monge_elkan_oracle_sql(),
         "ari_minhash_exact": _ari_oracle_sql(),
+        "soft_tfidf_pairs": _soft_tfidf_oracle_sql(),
+        "pivot_clusters": _pivot_oracle_sql(rounds=4),
+        "cluster_edge_stats": _cluster_edge_stats_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

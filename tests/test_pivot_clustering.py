@@ -1,0 +1,117 @@
+"""Parallel pivot (KwikCluster) correlation clustering: the distributed
+peel must equal the SEQUENTIAL greedy under the same md5 permutation
+(CDK'14's equivalence theorem, property-tested here), respect direct
+similarity only (no transitive bridge merges), and expose the bounded
+exact_rounds state the SQL oracle replays."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import defaultdict
+
+from levsim.clustering import pivot_clustering
+
+
+def _rank(v, seed=42):
+    h = hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15]
+    return (int(h, 16), v)
+
+
+def kwik_sequential(edge_list, seed=42):
+    """Reference: greedy KwikCluster in permutation order (driver-side)."""
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edge_list:
+        nodes.add(a)
+        nodes.add(b)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    label = {}
+    for v in sorted(nodes, key=lambda x: _rank(x, seed)):
+        if v in label:
+            continue
+        label[v] = v
+        for u in adj[v]:
+            if u not in label:
+                label[u] = v
+    return label
+
+
+def _spark_labels(spark, edge_list, **kw):
+    e = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    out = pivot_clustering(e, **kw).collect()
+    return {r.doc_id: r.cluster_id for r in out}, out
+
+
+def test_pivot_equals_sequential_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 100 + 20 * trial
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)]
+        got, _ = _spark_labels(spark, edges)
+        want = kwik_sequential(edges)
+        assert got == want, (trial, sorted(got.items())[:5], sorted(want.items())[:5])
+
+
+def test_pivot_path_and_clique(spark):
+    # path: pivots are permutation local minima; clique: single cluster at
+    # the global min-rank node — both must match sequential exactly
+    path = [(i, i + 1) for i in range(60)]
+    got, _ = _spark_labels(spark, path)
+    assert got == kwik_sequential(path)
+
+    clique = [(a, b) for a in range(8) for b in range(8) if a < b]
+    got, _ = _spark_labels(spark, clique)
+    pivot = min(range(8), key=_rank)
+    assert set(got.values()) == {pivot}
+
+
+def test_pivot_respects_negative_evidence(spark):
+    # star: hub 0 similar to 1..6, leaves not similar to each other.
+    # transitive closure would fuse all 7; pivot clustering puts the hub
+    # with ONE pivot's cluster and leaves the rest separate unless the hub
+    # itself pivots first.
+    star = [(0, i) for i in range(1, 7)]
+    got, _ = _spark_labels(spark, star)
+    assert got == kwik_sequential(star)
+    n_clusters = len(set(got.values()))
+    hub_first = min(range(7), key=_rank) == 0
+    assert n_clusters == (1 if hub_first else 6)
+
+
+def test_pivot_self_loops_dups_reversed(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4)]
+    got, _ = _spark_labels(spark, edges)
+    assert got == kwik_sequential(edges)
+
+
+def test_pivot_exact_rounds_state(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    # run-to-completion rounds recorded per node
+    full, rows = _spark_labels(spark, edges)
+    max_round = max(r.assigned_round for r in rows)
+    # truncated run: everything assigned by round 1 matches; later nodes NULL
+    got1, rows1 = _spark_labels(spark, edges, exact_rounds=1)
+    by_full = {r.doc_id: r for r in rows}
+    for r in rows1:
+        if by_full[r.doc_id].assigned_round == 1:
+            assert r.cluster_id == by_full[r.doc_id].cluster_id
+            assert r.assigned_round == 1
+        else:
+            assert r.cluster_id is None and r.assigned_round is None
+    # over-provisioned exact_rounds equals the converged labels
+    gotN, _ = _spark_labels(spark, edges, exact_rounds=max_round + 2)
+    assert gotN == full
+
+
+def test_pivot_seed_changes_permutation(spark):
+    edges = [(i, i + 1) for i in range(40)]
+    a, _ = _spark_labels(spark, edges, rank_seed=42)
+    b, _ = _spark_labels(spark, edges, rank_seed=7)
+    assert a == kwik_sequential(edges, 42)
+    assert b == kwik_sequential(edges, 7)
+    assert a != b  # 40-node path: different permutations, different pivots
