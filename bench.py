@@ -117,6 +117,15 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     max_extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4")))
+    # SPARK_GRAFT_BENCH_ONLY="q1_er_scoring,q9_sorted_neighborhood" runs a
+    # subset — the standalone xN drift protocol (VERDICT r4/r5: isolated
+    # reruns on byte-identical code are the only way to tell noise from
+    # regression); unset = full suite.
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
 
     def bench(name: str, fn) -> None:
         """Median-of-N timing; fn() must fully execute the query (an action
@@ -125,6 +134,8 @@ def main() -> None:
         $SPARK_GRAFT_BENCH_MAX_EXTRA more runs are added (round-3 q8 spread
         18.3/35.4/28.9 showed median-of-3 alone is not enough); the spread
         is emitted so the artifact is self-diagnosing."""
+        if only and name not in only:
+            return
         obs = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -155,7 +166,10 @@ def main() -> None:
         extra["pairs_scored"] = row["n"]
 
     bench("q1_er_scoring", q1)
-    extra["pairs_per_sec"] = round(extra["pairs_scored"] / timings["q1_er_scoring"], 1)
+    if "q1_er_scoring" in timings:
+        extra["pairs_per_sec"] = round(
+            extra["pairs_scored"] / timings["q1_er_scoring"], 1
+        )
 
     # q2: full pipeline (threshold -> CC -> consensus)
     def q2():

@@ -423,6 +423,42 @@ def cluster_edge_stats(
     )
 
 
+def clustering_disagreement_cost(
+    components: DataFrame,
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The correlation-clustering objective for a produced clustering:
+    disagreements = intra-cluster NON-edges (pairs grouped without direct
+    similarity evidence) + inter-cluster edges (similar pairs split apart).
+    This is the quantity KwikCluster/pivot 3-approximates and the number
+    that makes transitive closure's bridge-merging cost visible: CC zeroes
+    inter_edges but can explode intra_missing on chained graphs.
+
+    One row, exact BIGINTs: n_clusters, n_nodes, intra_pairs
+    (sum n(n-1) DIV 2), intra_edges, intra_missing, inter_edges
+    (undirected, each counted once), disagreements.  Edges with an
+    endpoint absent from ``components`` are ignored (label both sides or
+    pass a full assignment).  Built as one aggregate over
+    :func:`cluster_edge_stats` — nothing pairwise, nothing collected.
+    """
+    st = cluster_edge_stats(components, edges, src=src, dst=dst)
+    return st.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_nodes").cast("long").alias("n_nodes"),
+        F.sum(F.expr("(n_nodes * (n_nodes - 1)) div 2")).cast("long").alias("intra_pairs"),
+        F.sum("n_edges_within").cast("long").alias("intra_edges"),
+        F.sum(F.expr("(n_nodes * (n_nodes - 1)) div 2 - n_edges_within"))
+        .cast("long").alias("intra_missing"),
+        F.expr("sum(n_edges_out) div 2").cast("long").alias("inter_edges"),
+        F.expr(
+            "sum((n_nodes * (n_nodes - 1)) div 2 - n_edges_within) "
+            "+ sum(n_edges_out) div 2"
+        ).cast("long").alias("disagreements"),
+    )
+
+
 def attach_clusters(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Every doc gets a cluster_id; unmatched docs become their own cluster."""
     c = components.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else components

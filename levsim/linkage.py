@@ -65,6 +65,8 @@ __all__ = [
     "fs_em",
     "fs_pattern_weights",
     "fs_score_pairs",
+    "tf_value_shares",
+    "fs_tf_adjust_pairs",
 ]
 
 _PPM = 1_000_000
@@ -203,6 +205,75 @@ def fs_pattern_weights(
         .withColumn("weight_ppm", weight)
         .withColumn("posterior_ppm", post)
         .select(*gamma_cols, "cnt", "pm_ppm", "pu_ppm", "weight_ppm", "posterior_ppm")
+    )
+
+
+def tf_value_shares(records: DataFrame, value_col: str) -> DataFrame:
+    """Per-value term-frequency share table for one linkage field:
+    (value, tf, p_ppm) with ``p_ppm = greatest(1, (1e6 * tf) div N)`` —
+    the exact-integer share of records carrying that value (clamped to
+    >= 1 so ultra-rare values at huge N stay usable as a divisor; the
+    clamp is part of the replayed spec).
+
+    One partial-aggregating groupBy over the records table; the result is
+    bounded by the field's distinct-value count.
+    """
+    n = records.count()
+    return (
+        records.groupBy(F.col(value_col).alias("value"))
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn(
+            "p_ppm", F.expr(f"greatest(1, (1000000 * tf) div {int(n)}L)")
+        )
+    )
+
+
+def fs_tf_adjust_pairs(
+    scored: DataFrame,
+    value_a: str,
+    value_b: str,
+    shares: DataFrame,
+    u_ppm: int,
+) -> DataFrame:
+    """Term-frequency adjustment of Fellegi-Sunter match weights for one
+    agreement field (Winkler 1988's frequency-based weights; the same
+    adjustment splink ships as ``tf_adjustments`` — both public).
+
+    The global u-probability for a field is an AVERAGE over its value
+    distribution; agreeing on "Smith" is far weaker evidence than
+    agreeing on "Zzyzx".  For a pair agreeing on value v, the
+    value-specific u is v's share p_v, so the weight ratio gains a
+    factor u / p_v:
+
+        tf_weight_ppm = (weight_ppm * u_ppm) div greatest(1, p_ppm(v))
+
+    — exact BIGINTs throughout (weight_ppm < 1e12 by the per-fold
+    clamps, times u_ppm <= 1e6 stays under 1e18 < 2^63).  Rows that
+    disagree on the field — or agree on a value missing from ``shares``
+    (possible when shares come from a different snapshot) — pass through
+    unadjusted with ``tf_p_ppm`` NULL.
+
+    Scale shape: ONE equi-join of the scored pairs against the bounded
+    value-share table (broadcast-sized for real linkage fields) + pure
+    column arithmetic; nothing else touches the corpus.
+    """
+    agree = F.col(value_a) == F.col(value_b)
+    j = scored.join(
+        F.broadcast(shares.select("value", "p_ppm")),
+        F.col(value_a) == F.col("value"),
+        "left",
+    )
+    u = int(u_ppm)
+    return (
+        j.withColumn("tf_p_ppm", F.when(agree, F.col("p_ppm")))
+        .withColumn(
+            "tf_weight_ppm",
+            F.when(
+                agree & F.col("p_ppm").isNotNull(),
+                F.expr(f"(weight_ppm * {u}L) div greatest(1, p_ppm)"),
+            ).otherwise(F.col("weight_ppm")),
+        )
+        .drop("value", "p_ppm")
     )
 
 

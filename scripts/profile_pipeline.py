@@ -38,6 +38,9 @@ def main() -> None:
                     help="override spark.sql.shuffle.partitions (default 2*cores)")
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--snm-window", type=int, default=0)
+    ap.add_argument("--aqe", choices=["on", "off"], default="off",
+                    help="adaptive query execution (production sessions run "
+                         "with AQE on; off isolates static-plan behavior)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +52,11 @@ def main() -> None:
         .master(f"local[{args.cores}]")
         .config("spark.driver.memory", args.driver_mem)
         .config("spark.sql.shuffle.partitions", width)
+        .config("spark.sql.adaptive.enabled", "true" if args.aqe == "on" else "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                "true" if args.aqe == "on" else "false")
+        .config("spark.sql.adaptive.skewJoin.enabled",
+                "true" if args.aqe == "on" else "false")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.retainedJobs", "10000")
         .config("spark.ui.retainedStages", "10000")

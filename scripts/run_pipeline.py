@@ -45,7 +45,20 @@ def main() -> None:
     from levsim import evaluate, tables
     from levsim.pipeline import ERConfig, ERPipeline
 
-    spark = SparkSession.builder.appName("levsim-er").getOrCreate()
+    # Apply the house engine configs (AQE + partition coalescing + skew-join
+    # splitting, Arrow batching, UTC) on TOP of whatever spark-submit set —
+    # round-6 profiling showed the raw builder.getOrCreate() here ran the
+    # whole stress WITHOUT AQE, which is not the tuned production posture.
+    builder = SparkSession.builder.appName("levsim-er")
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synthesize:

@@ -212,3 +212,55 @@ def test_end_to_end_em_then_classify(gammas):
         ).collect()
     }
     assert got == {(i, 100 + i) for i in range(1, 7)}
+
+
+# ---------------------------------------------------------------------------
+# term-frequency adjustment (Winkler 1988 / splink tf_adjustments)
+# ---------------------------------------------------------------------------
+
+
+def test_tf_value_shares_exact(spark):
+    recs = spark.createDataFrame(
+        [("smith",)] * 6 + [("zzyzx",)] * 1 + [("jones",)] * 3, ["v"]
+    )
+    from levsim.linkage import tf_value_shares
+
+    got = {r.value: (r.tf, r.p_ppm) for r in tf_value_shares(recs, "v").collect()}
+    assert got == {
+        "smith": (6, 600_000),
+        "zzyzx": (1, 100_000),
+        "jones": (3, 300_000),
+    }
+
+
+def test_tf_adjustment_direction_and_arithmetic(spark):
+    from levsim.linkage import fs_score_pairs, fs_tf_adjust_pairs, tf_value_shares
+
+    # field value distribution: 'smith' common (8/10), 'zzyzx' rare (1/10)
+    recs = spark.createDataFrame([("smith",)] * 8 + [("zzyzx",)] * 1 + [("ab",)], ["v"])
+    shares = tf_value_shares(recs, "v")
+    rows = [
+        (1, 2, "smith", "smith"),   # agree on common value
+        (3, 4, "zzyzx", "zzyzx"),   # agree on rare value
+        (5, 6, "smith", "jones"),   # disagree
+        (7, 8, "nope", "nope"),     # agree on value absent from shares
+    ]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, va string, vb string")
+    g = agreement_vectors(pairs, {"g_v": F.col("va") == F.col("vb")})
+    m, u, lam = [900_000], [100_000], 500_000
+    s = fs_score_pairs(g, ["g_v"], m, u, lam)
+    out = {r.id_a: r for r in
+           fs_tf_adjust_pairs(s, "va", "vb", shares, u[0]).collect()}
+
+    base = {r.id_a: r.weight_ppm for r in s.collect()}
+    # exact arithmetic: adj = (w * u) div p_ppm
+    assert out[1].tf_p_ppm == 800_000
+    assert out[1].tf_weight_ppm == (base[1] * 100_000) // 800_000
+    assert out[3].tf_p_ppm == 100_000
+    assert out[3].tf_weight_ppm == (base[3] * 100_000) // 100_000
+    # direction: rare-value agreement strengthens, common weakens
+    assert out[3].tf_weight_ppm > out[1].tf_weight_ppm
+    assert out[1].tf_weight_ppm < base[1]
+    # disagree and missing-value rows pass through unadjusted
+    assert out[5].tf_p_ppm is None and out[5].tf_weight_ppm == base[5]
+    assert out[7].tf_p_ppm is None and out[7].tf_weight_ppm == base[7]

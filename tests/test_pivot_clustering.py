@@ -115,3 +115,59 @@ def test_pivot_seed_changes_permutation(spark):
     assert a == kwik_sequential(edges, 42)
     assert b == kwik_sequential(edges, 7)
     assert a != b  # 40-node path: different permutations, different pivots
+
+
+# ---------------------------------------------------------------------------
+# cluster_edge_stats + clustering_disagreement_cost (hand-computed)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_edge_stats_and_cost(spark):
+    from levsim.clustering import cluster_edge_stats, clustering_disagreement_cost
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+        ["doc_id", "cluster_id"],
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 1), (5, 4)],  # dups/reversed collapse
+        ["id_a", "id_b"],
+    )
+    st = {r.cluster_id: r for r in cluster_edge_stats(comps, edges).collect()}
+    assert st[1].n_nodes == 3 and st[1].n_edges_within == 2
+    assert st[1].n_edges_out == 1 and st[1].density_ppm == (2 * 1_000_000 * 2) // 6
+    assert st[4].n_nodes == 2 and st[4].n_edges_within == 1
+    assert st[4].n_edges_out == 1 and st[4].density_ppm == 1_000_000
+    assert st[9].n_nodes == 1 and st[9].n_edges_within == 0
+    assert st[9].n_edges_out == 0 and st[9].density_ppm is None
+
+    cost = clustering_disagreement_cost(comps, edges).collect()[0]
+    assert cost.n_clusters == 3 and cost.n_nodes == 6
+    assert cost.intra_pairs == 3 + 1 + 0
+    assert cost.intra_edges == 3 and cost.intra_missing == 1
+    assert cost.inter_edges == 1 and cost.disagreements == 2
+
+
+def test_pivot_beats_cc_on_bridge_graph(spark):
+    from levsim.clustering import (
+        clustering_disagreement_cost,
+        connected_components,
+        pivot_clustering,
+    )
+
+    # two 5-cliques joined by ONE bridge edge: transitive closure fuses
+    # them (intra_missing explodes); pivot keeps them apart and pays only
+    # the bridge disagreement
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edges += [(4, 10)]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    cc = connected_components(e).select("doc_id", "cluster_id")
+    pc = pivot_clustering(e).select("doc_id", "cluster_id")
+    cost_cc = clustering_disagreement_cost(cc, e).collect()[0].disagreements
+    cost_pc = clustering_disagreement_cost(pc, e).collect()[0].disagreements
+    # CC: one 10-node cluster -> 45 pairs, 21 edges -> 24 disagreements.
+    assert cost_cc == 24
+    # pivot respects the non-edges; on this graph it pays far less
+    assert cost_pc < cost_cc
