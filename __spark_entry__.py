@@ -3035,6 +3035,100 @@ def _meta_block_oracle_sql() -> str:
     )
 
 
+def q_mutual_best_match(spark, sf_dir):
+    """One-to-one linkage by mutual best match (levsim.linkage.
+    mutual_best_match): bipartite candidates within the standard
+    (lang, source) blocks — side A = even text length, side B = odd
+    (doc_id parity is constant within a testdata block, so length
+    parity is the deterministic split that actually mixes) — scored by
+    ppm-quantized jaro_winkler (round-6 DuckDB parity established by
+    jaro_winkler_pairs / soft_tfidf_pairs), then kept iff reciprocal —
+    b is a's max-score-then-min-id best AND vice versa.  The oracle
+    replays the score table and both best-side resolutions with the
+    identical max-then-min two-step (no row_number nondeterminism on
+    either engine)."""
+    from levsim.linkage import mutual_best_match
+    from levsim.udfs import lev_jaro_winkler_udf
+
+    d = _docs(spark, sf_dir)
+    a = d.where(F.length("text") % 2 == 0).select(
+        "lang", "source", F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"))
+    b = d.where(F.length("text") % 2 == 1).select(
+        "lang", "source", F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"))
+    s = (
+        a.join(F.broadcast(b), ["lang", "source"])
+        .withColumn("_jw", lev_jaro_winkler_udf()("text_a", "text_b"))
+        .withColumn("score_ppm", F.expr("cast(round(_jw * 1000000) as bigint)"))
+    )
+    return mutual_best_match(s, "id_a", "id_b", "score_ppm")
+
+
+def _mutual_best_oracle_sql() -> str:
+    return (
+        "WITH s AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(round(jaro_winkler_similarity(a.text, b.text) * 1000000) "
+        "AS BIGINT) AS score FROM documents a JOIN documents b "
+        "ON a.lang = b.lang AND a.source = b.source "
+        "AND length(a.text) % 2 = 0 AND length(b.text) % 2 = 1), "
+        "ma AS (SELECT id_a, max(score) AS score FROM s GROUP BY id_a), "
+        "ba AS (SELECT s.id_a, s.score, min(s.id_b) AS id_b FROM s "
+        "JOIN ma ON ma.id_a = s.id_a AND ma.score = s.score "
+        "GROUP BY s.id_a, s.score), "
+        "mb AS (SELECT id_b, max(score) AS score FROM s GROUP BY id_b), "
+        "bb AS (SELECT s.id_b, s.score, min(s.id_a) AS id_a FROM s "
+        "JOIN mb ON mb.id_b = s.id_b AND mb.score = s.score "
+        "GROUP BY s.id_b, s.score) "
+        "SELECT ba.id_a, ba.id_b, ba.score AS score_ppm FROM ba "
+        "JOIN bb ON bb.id_a = ba.id_a AND bb.id_b = ba.id_b "
+        "AND bb.score = ba.score"
+    )
+
+
+def q_blocking_quality(spark, sf_dir):
+    """Blocking-scheme evaluation (levsim.evaluate.blocking_quality;
+    Christen 2012 §7.3): pair completeness / pairs quality / reduction
+    ratio of the standard (lang, source) blocking against a deterministic
+    truth set (pairs sharing their 20-char text prefix, blocked or not).
+    One row of exact BIGINT counts + floor-div ppm ratios; the oracle
+    replays both pair sets, the intersection, and C(n,2)."""
+    from levsim.evaluate import blocking_quality
+
+    d = _docs(spark, sf_dir)
+    cand = _pairs(spark, sf_dir).select("id_a", "id_b")
+    a = d.select(F.substring("text", 1, 20).alias("k"),
+                 F.col("doc_id").alias("id_a"))
+    b = d.select(F.substring("text", 1, 20).alias("k"),
+                 F.col("doc_id").alias("id_b"))
+    truth = a.join(b, "k").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b")
+    return blocking_quality(cand, truth, d.count())
+
+
+def _blocking_quality_oracle_sql() -> str:
+    return (
+        "WITH c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM documents a JOIN documents b ON a.lang = b.lang "
+        "AND a.source = b.source AND a.doc_id < b.doc_id), "
+        "t AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM documents a JOIN documents b "
+        "ON substr(a.text, 1, 20) = substr(b.text, 1, 20) "
+        "AND a.doc_id < b.doc_id), "
+        "agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cand, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM t) AS n_truth, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM c JOIN t "
+        "USING (id_a, id_b)) AS found, "
+        "(SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) "
+        "FROM documents) AS total_pairs) "
+        "SELECT total_pairs, n_cand, n_truth, found, "
+        "CAST((1000000 * found) // greatest(1, n_truth) AS BIGINT) AS pc_ppm, "
+        "CAST((1000000 * found) // greatest(1, n_cand) AS BIGINT) AS pq_ppm, "
+        "CAST((1000000 * (total_pairs - n_cand)) // greatest(1, total_pairs) "
+        "AS BIGINT) AS rr_ppm FROM agg"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (round-4 VERDICT #1): the driver value-checks only the
     # FIRST 50 dict entries per round, so dict order IS the evidence budget.
@@ -3048,12 +3142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 10 never-checked new queries + 38 of the 41 queries whose
+    # window = 14 never-checked new queries + 34 of the 41 queries whose
     # last driver green was round 4 + 2 r5-window keepers whose VALUE
     # paths changed this round (canonical_selection / bcubed_overlap;
     # tfidf's round-6 change was an error-path guard only, so it rotates
-    # to the tail).  With 102 oracled queries and a 50-slot window the
-    # budget is now oversubscribed by 5: the displaced r4-greens
+    # to the tail).  With 105 oracled queries (110 total) and a 50-slot
+    # window the budget is oversubscribed; the displaced r4-greens
     # (punct_alpha_stats, shard_manifests, median_improve_chars,
     # lang_id_ngram, embedding_norm — each trivial or sibling-covered:
     # quality_components shares the with_textstats path, token_shards
@@ -3062,8 +3156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # arithmetic HOF) age to two rounds and rotate first in r7; all
     # five retain same-round local-gate value checks
     # (CORRECTNESS_local_r06).
+    # Late round-6 additions (mutual_best_match / blocking_quality) enter
+    # section (1) as never-checked; to keep the marker at exactly 50 the
+    # two displaced r4-greens are length_histogram (trivial groupBy
+    # arithmetic) and fingerprint_docs (pure-column path shared with the
+    # driver-green textstats family) — both rotate first in r7 alongside
+    # the five displaced earlier, and both retain same-round local-gate
+    # value checks (CORRECTNESS_local_r06).
     return {
         # -- (1) never driver-checked: new this round --
+        "mutual_best_match": q_mutual_best_match,
+        "blocking_quality": q_blocking_quality,
         "soft_tfidf_pairs": q_soft_tfidf,
         "pivot_clusters": q_pivot_clusters,
         "cluster_edge_stats": q_cluster_edge_stats,
@@ -3099,7 +3202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lev_weighted_asym": q_lev_weighted_asym,
         "quickmedian_chars": q_quickmedian_chars,
         "median_chars": q_median_chars,
-        "length_histogram": q_length_histogram,
         "distinct_text_stats": q_distinct_text_stats,
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
@@ -3111,13 +3213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
         "lang_id_pred": q_lang_id_pred,
-        "fingerprint_docs": q_fingerprint_docs,
         "lev_distance_hint": q_lev_distance_hint,
         # -- (3) r5-window keepers: changed code paths + riskiest structure --
         "canonical_selection": q_canonical_selection,
         "bcubed_overlap": q_bcubed_overlap,
         # ---- driver window ends here (first 50 entries) ----
         # -- tail: displaced r4-greens (rotate FIRST in r7), then r5 greens --
+        "length_histogram": q_length_histogram,
+        "fingerprint_docs": q_fingerprint_docs,
         "punct_alpha_stats": q_punct_alpha_stats,
         "shard_manifests": q_shard_manifests,
         "median_improve_chars": q_median_improve_chars,
@@ -4519,6 +4622,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_edge_stats": _cluster_edge_stats_oracle_sql(),
         "fs_tf_weights": _fs_tf_oracle_sql(),
         "clustering_cost": _clustering_cost_oracle_sql(),
+        "mutual_best_match": _mutual_best_oracle_sql(),
+        "blocking_quality": _blocking_quality_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

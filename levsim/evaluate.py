@@ -133,6 +133,59 @@ def bcubed_collected(
     return {"n": n, "precision": p, "recall": rr, "f1": f1}
 
 
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Blocking-scheme quality as ONE row of exact BIGINT components
+    (the standard trio of Christen, "Data Matching", 2012 §7.3 —
+    the numbers that decide whether a blocking key is usable BEFORE any
+    scoring runs):
+
+      pair_completeness  PC = found / n_truth   (blocking recall: share
+                              of true pairs the blocks retain)
+      pairs_quality      PQ = found / n_cand    (blocking precision)
+      reduction_ratio    RR = 1 - n_cand / C(n,2)  (search-space cut)
+
+    Emitted as the raw counts plus ppm ratios (``1e6*x div y`` floor
+    division — all quantities non-negative, where Spark ``div`` and
+    DuckDB ``//`` agree), so a SQL oracle replays the row bit-for-bit.
+
+    Scale shape: both inputs are deduped ids-only pair sets; the only
+    work is one inner join (found = |cand ∩ truth|) and three scalar
+    counts — partial-aggregable, nothing row-shaped reaches the driver.
+    C(n,2) is computed from the passed record count, not by
+    materializing the quadratic pair space.
+    """
+    c = candidates.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")) \
+        .dropDuplicates(["id_a", "id_b"])
+    t = truth.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")) \
+        .dropDuplicates(["id_a", "id_b"])
+    n = int(n_records)
+    total = n * (n - 1) // 2
+    counts = (
+        c.agg(F.count("*").cast("long").alias("n_cand"))
+        .crossJoin(t.agg(F.count("*").cast("long").alias("n_truth")))
+        .crossJoin(
+            c.join(t, ["id_a", "id_b"]).agg(
+                F.count("*").cast("long").alias("found")
+            )
+        )
+    )
+    return counts.select(
+        F.lit(total).cast("long").alias("total_pairs"),
+        "n_cand", "n_truth", "found",
+        F.expr("(1000000 * found) div greatest(1, n_truth)").alias("pc_ppm"),
+        F.expr("(1000000 * found) div greatest(1, n_cand)").alias("pq_ppm"),
+        F.expr(
+            f"(1000000 * ({total}L - n_cand)) div greatest(1, {total}L)"
+        ).alias("rr_ppm"),
+    )
+
+
 def rand_components(
     a: DataFrame,
     b: DataFrame,

@@ -67,6 +67,7 @@ __all__ = [
     "fs_score_pairs",
     "tf_value_shares",
     "fs_tf_adjust_pairs",
+    "mutual_best_match",
 ]
 
 _PPM = 1_000_000
@@ -274,6 +275,55 @@ def fs_tf_adjust_pairs(
             ).otherwise(F.col("weight_ppm")),
         )
         .drop("value", "p_ppm")
+    )
+
+
+def mutual_best_match(
+    scored: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score_ppm",
+    min_score: int | None = None,
+) -> DataFrame:
+    """One-to-one linkage by mutual best match (reciprocal nearest
+    neighbor): keep (a, b) iff b is a's best-scoring partner AND a is
+    b's best-scoring partner.  The conservative 1:1 assignment rule of
+    classic two-source linkage (each record of file A links to at most
+    one record of file B and vice versa) — the greedy symmetric
+    approximation practitioners use in place of full bipartite
+    assignment, which is inherently sequential and does not distribute.
+
+    Determinism spec (part of the replayable contract): "best" is
+    highest ``score_col``, ties broken by SMALLEST partner id — computed
+    as max-score-then-min-id in two plain aggregates per side, so any
+    engine reproduces the same assignment with no row_number
+    nondeterminism.  With an integer ppm score column the whole operator
+    is exact cross-engine.
+
+    Scale shape: two groupBys per side over (id, score)-width rows plus
+    two equi-joins back — all partial-aggregable, nothing quadratic, no
+    window function (a per-key max via window would sort whole
+    partitions; the agg shuffles only one row per key).  ``min_score``
+    prunes the candidate set before any aggregation.
+    """
+    s = scored.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"),
+        F.col(score_col).alias("score"),
+    )
+    if min_score is not None:
+        s = s.where(F.col("score") >= min_score)
+
+    def best(side: str, partner: str) -> DataFrame:
+        mx = s.groupBy(side).agg(F.max("score").alias("score"))
+        return (
+            s.join(mx, [side, "score"])
+            .groupBy(side, "score")
+            .agg(F.min(partner).alias(partner))
+        )
+    ba = best("id_a", "id_b")          # a -> its unique best b
+    bb = best("id_b", "id_a")          # b -> its unique best a
+    return ba.join(bb, ["id_a", "id_b", "score"]).select(
+        "id_a", "id_b", F.col("score").alias(score_col)
     )
 
 

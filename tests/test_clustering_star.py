@@ -50,3 +50,31 @@ def test_star_cc_random_graphs(spark):
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
         edges = [e for e in edges if e[0] != e[1]]
         _check(spark, edges)
+
+
+def test_blocking_quality_exact_counts(spark):
+    from levsim.evaluate import blocking_quality
+
+    # 5 records; candidates keep 4 pairs of C(5,2)=10; truth has 3 pairs,
+    # 2 of them retained by the blocking
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long")
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    r = blocking_quality(cand, truth, 5).collect()[0]
+    assert (r.total_pairs, r.n_cand, r.n_truth, r.found) == (10, 4, 3, 2)
+    assert r.pc_ppm == (1_000_000 * 2) // 3
+    assert r.pq_ppm == 500_000
+    assert r.rr_ppm == 600_000
+
+
+def test_blocking_quality_dedupes_inputs(spark):
+    from levsim.evaluate import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "id_a long, id_b long")
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 2)], "id_a long, id_b long")
+    r = blocking_quality(cand, truth, 3).collect()[0]
+    assert (r.n_cand, r.n_truth, r.found) == (2, 1, 1)
+    assert r.pc_ppm == 1_000_000

@@ -264,3 +264,57 @@ def test_tf_adjustment_direction_and_arithmetic(spark):
     # disagree and missing-value rows pass through unadjusted
     assert out[5].tf_p_ppm is None and out[5].tf_weight_ppm == base[5]
     assert out[7].tf_p_ppm is None and out[7].tf_weight_ppm == base[7]
+
+
+def test_mutual_best_match_reciprocity_and_ties(spark):
+    from levsim.linkage import mutual_best_match
+
+    # a1's best is b1 (90); b1's best is a1 (90)      -> mutual
+    # a2's best is b1 (80) but b1 prefers a1          -> dropped
+    # a3/b3: tie at 70 between b3 and b4; min-id tie-break picks b3,
+    #        and b3's best is a3                      -> (a3, b3) mutual
+    # a4's best is b4, but b4's best is a3 (70 > 60)  -> dropped: b4 goes
+    #        unmatched even though (a4, b4) is free — the documented
+    #        conservatism of mutual-best vs full assignment
+    rows = [
+        (1, 101, 90), (1, 102, 50),
+        (2, 101, 80), (2, 102, 40),
+        (3, 103, 70), (3, 104, 70),
+        (4, 104, 60),
+    ]
+    s = spark.createDataFrame(rows, "id_a long, id_b long, score_ppm long")
+    got = {(r.id_a, r.id_b): r.score_ppm
+           for r in mutual_best_match(s).collect()}
+    assert got == {(1, 101): 90, (3, 103): 70}
+
+
+def test_mutual_best_match_min_score_prunes(spark):
+    from levsim.linkage import mutual_best_match
+
+    s = spark.createDataFrame(
+        [(1, 101, 90), (2, 102, 10)], "id_a long, id_b long, score_ppm long"
+    )
+    got = mutual_best_match(s, min_score=50).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 101)]
+
+
+def test_mutual_best_match_is_one_to_one(spark):
+    import random
+
+    from levsim.linkage import mutual_best_match
+
+    rng = random.Random(7)
+    rows = [(a, 100 + b, rng.randrange(1_000_000))
+            for a in range(20) for b in range(20) if rng.random() < 0.5]
+    s = spark.createDataFrame(rows, "id_a long, id_b long, score_ppm long")
+    out = mutual_best_match(s).collect()
+    assert len({r.id_a for r in out}) == len(out)
+    assert len({r.id_b for r in out}) == len(out)
+    # every kept pair is its a-side argmax (score, then min id)
+    best = {}
+    for a, b, sc in rows:
+        cur = best.get(a)
+        if cur is None or (sc, -b) > (cur[1], -cur[0]):
+            best[a] = (b, sc)
+    for r in out:
+        assert best[r.id_a] == (r.id_b, r.score_ppm)
