@@ -1741,6 +1741,40 @@ def q_osa_distance_pairs(spark, sf_dir):
     return p.select("id_a", "id_b", osa_distance_udf()("ta", "tb").alias("osa"))
 
 
+def q_damerau_distance_pairs(spark, sf_dir):
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner) on 32-char
+    prefixes, with a transposition seeded into side a (chars 3 and 4
+    swapped — identically in the oracle) so the unrestricted-transposition
+    rule differentiates from both plain Levenshtein and OSA.  Oracle:
+    DuckDB's own ``damerau_levenshtein`` builtin — a fully independent
+    second implementation (byte-based, exact on this all-ASCII corpus;
+    the codepoint-vs-byte gap is covered by bytes-mode unit tests)."""
+    from levsim.udfs import damerau_distance_udf
+
+    def swap34(c):
+        return F.concat(
+            F.substring(c, 1, 2), F.substring(c, 4, 1),
+            F.substring(c, 3, 1), F.substring(c, 5, 28),
+        )
+
+    p = _pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        swap34(F.col("text_a")).alias("ta"),
+        F.substring("text_b", 1, 32).alias("tb"),
+    )
+    return p.select("id_a", "id_b", damerau_distance_udf()("ta", "tb").alias("dl"))
+
+
+def _damerau_oracle_sql() -> str:
+    return (
+        _P_CTE +
+        "SELECT id_a, id_b, damerau_levenshtein("
+        "substr(text_a, 1, 2) || substr(text_a, 4, 1) || "
+        "substr(text_a, 3, 1) || substr(text_a, 5, 28), "
+        "substr(text_b, 1, 32)) AS dl FROM p"
+    )
+
+
 def q_token_sort_ratio(spark, sf_dir):
     """token_sort_ratio — the north-star's "token-sortratio prefilter"
     scorer: both sides are normalized, word-tokenized, alphabetically
@@ -3165,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value checks (CORRECTNESS_local_r06).
     return {
         # -- (1) never driver-checked: new this round --
+        "damerau_distance_pairs": q_damerau_distance_pairs,
         "mutual_best_match": q_mutual_best_match,
         "blocking_quality": q_blocking_quality,
         "soft_tfidf_pairs": q_soft_tfidf,
@@ -3205,7 +3240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_text_stats": q_distinct_text_stats,
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
-        "canonical_url_docs": q_canonical_url_docs,
         "chunk_documents": q_chunk_documents,
         "token_shards": q_token_shards,
         "dataset_split_assign": q_dataset_split_assign,
@@ -3221,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: displaced r4-greens (rotate FIRST in r7), then r5 greens --
         "length_histogram": q_length_histogram,
         "fingerprint_docs": q_fingerprint_docs,
+        "canonical_url_docs": q_canonical_url_docs,
         "punct_alpha_stats": q_punct_alpha_stats,
         "shard_manifests": q_shard_manifests,
         "median_improve_chars": q_median_improve_chars,
@@ -4624,6 +4659,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_cost": _clustering_cost_oracle_sql(),
         "mutual_best_match": _mutual_best_oracle_sql(),
         "blocking_quality": _blocking_quality_oracle_sql(),
+        "damerau_distance_pairs": _damerau_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

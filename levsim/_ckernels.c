@@ -592,6 +592,113 @@ void batch_osa(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const 
     free(cur);
 }
 
+/* -------- unrestricted Damerau-Levenshtein (Lowrance-Wagner 1975) ------ */
+
+/* Full-matrix DP mirroring levsim.kernels.damerau_distance exactly: the
+ * transposition candidate reads row da[b_j] (the last row whose character
+ * matched b_j), so the matrix cannot collapse to three rows like OSA.
+ * The last-row table is a sorted-unique code-point array + binary search
+ * (deterministic, bounded by m+n keys, no hashing).  Buffers grow-only
+ * across the batch; memory is O(m*n) per pair by nature of the algorithm
+ * (callers length-prefilter long texts).  Common-affix strip is exact for
+ * unrestricted DL (an optimal trace never crosses an equal-affix
+ * boundary; property-tested vs DuckDB in tests/test_kernels_properties.py). */
+
+static int dl_cmp_u32(const void *x, const void *y)
+{
+    uint32_t a = *(const uint32_t *)x, b = *(const uint32_t *)y;
+    return (a > b) - (a < b);
+}
+
+static int64_t dl_find(const uint32_t *keys, int64_t nk, uint32_t c)
+{
+    int64_t lo = 0, hi = nk - 1;
+    while (lo <= hi) {
+        int64_t mid = lo + (hi - lo) / 2;
+        if (keys[mid] < c) lo = mid + 1;
+        else if (keys[mid] > c) hi = mid - 1;
+        else return mid;
+    }
+    return -1; /* unreachable: keys cover both strings */
+}
+
+static int64_t damerau_one(const uint32_t *a, int64_t m, const uint32_t *b, int64_t n,
+                           int64_t **mat, size_t *mat_cap,
+                           uint32_t **keybuf, int64_t **valbuf, size_t *key_cap)
+{
+    strip_common(&a, &m, &b, &n);
+    if (m == 0) return n;
+    if (n == 0) return m;
+    int64_t w = n + 2;
+    size_t need = (size_t)(m + 2) * (size_t)w;
+    if (need > *mat_cap) {
+        free(*mat);
+        *mat = (int64_t *)malloc(need * sizeof(int64_t));
+        *mat_cap = need;
+    }
+    size_t kneed = (size_t)(m + n);
+    if (kneed > *key_cap) {
+        free(*keybuf);
+        free(*valbuf);
+        *keybuf = (uint32_t *)malloc(kneed * sizeof(uint32_t));
+        *valbuf = (int64_t *)malloc(kneed * sizeof(int64_t));
+        *key_cap = kneed;
+    }
+    uint32_t *keys = *keybuf;
+    int64_t *da = *valbuf;
+    memcpy(keys, a, (size_t)m * sizeof(uint32_t));
+    memcpy(keys + m, b, (size_t)n * sizeof(uint32_t));
+    qsort(keys, (size_t)(m + n), sizeof(uint32_t), dl_cmp_u32);
+    int64_t nk = 0;
+    for (int64_t i = 0; i < m + n; i++)
+        if (nk == 0 || keys[i] != keys[nk - 1]) keys[nk++] = keys[i];
+    for (int64_t i = 0; i < nk; i++) da[i] = 0;
+    int64_t *M = *mat;
+    int64_t maxd = m + n;
+    /* M[r+1][c+1] = d[r][c] of the classic pseudocode; index 0 = the
+     * d[-1][*] sentinel rank, so d[k-1][l-1] is just M[k][l] */
+    for (int64_t j = 0; j < w; j++) M[j] = maxd;            /* sentinel row */
+    for (int64_t i = 1; i < m + 2; i++) M[i * w] = maxd;    /* sentinel col */
+    for (int64_t j = 0; j <= n; j++) M[w + j + 1] = j;      /* d[0][j] = j  */
+    for (int64_t i = 0; i <= m; i++) M[(i + 1) * w + 1] = i;/* d[i][0] = i  */
+    for (int64_t i = 1; i <= m; i++) {
+        int64_t db = 0;
+        uint32_t ai = a[i - 1];
+        int64_t *prev = M + i * w, *cur = M + (i + 1) * w;
+        for (int64_t j = 1; j <= n; j++) {
+            int64_t k = da[dl_find(keys, nk, b[j - 1])];
+            int64_t l = db;
+            int64_t cost = (b[j - 1] == ai) ? 0 : 1;
+            if (!cost) db = j;
+            int64_t v = prev[j] + cost;                     /* diag */
+            int64_t up = prev[j + 1] + 1;
+            if (up < v) v = up;
+            int64_t ins = cur[j] + 1;
+            if (ins < v) v = ins;
+            int64_t t = M[k * w + l] + (i - k - 1) + 1 + (j - l - 1);
+            if (t < v) v = t;
+            cur[j + 1] = v;
+        }
+        da[dl_find(keys, nk, ai)] = i;
+    }
+    return M[(m + 1) * w + n + 1];
+}
+
+void batch_damerau(const uint32_t *ca, const int64_t *oa, const uint32_t *cb, const int64_t *ob,
+                   int64_t npairs, int64_t *out)
+{
+    int64_t *mat = NULL;
+    uint32_t *keybuf = NULL;
+    int64_t *valbuf = NULL;
+    size_t mat_cap = 0, key_cap = 0;
+    for (int64_t i = 0; i < npairs; i++)
+        out[i] = damerau_one(ca + oa[i], oa[i + 1] - oa[i], cb + ob[i], ob[i + 1] - ob[i],
+                             &mat, &mat_cap, &keybuf, &valbuf, &key_cap);
+    free(mat);
+    free(keybuf);
+    free(valbuf);
+}
+
 /* ------------------ affine-gap (Gotoh) alignment ---------------------- */
 
 /* Two-row Gotoh mirroring levsim.kernels.affine_gap_distance: V = overall

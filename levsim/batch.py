@@ -222,6 +222,30 @@ def batch_osa(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.
     return out, nulls
 
 
+def batch_damerau(a, b, score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner) distance per pair
+    -> (int64 values, null mask).  C full-matrix DP when the compiled
+    kernels are available (bit-identical to the NumPy kernel — asserted in
+    test_batch); cutoff clamps post-hoc like batch_osa.  O(m*n) memory per
+    pair by nature of the algorithm — length-prefilter long texts."""
+    res = _call_c("batch_damerau", a, b)
+    if res is not None:
+        out, nulls = res
+        if score_cutoff is not None:
+            out = np.where(out > score_cutoff, score_cutoff + 1, out)
+        return out, nulls
+    n = len(a)
+    out = np.empty(n, dtype=np.int64)
+    nulls = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if a[i] is None or b[i] is None:
+            nulls[i] = True
+            out[i] = 0
+        else:
+            out[i] = kernels.damerau_distance(a[i], b[i], score_cutoff=score_cutoff)
+    return out, nulls
+
+
 def batch_affine_gap(a, b, gap_open: int = 2, gap_extend: int = 1, sub_cost: int = 2,
                      score_cutoff: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """Affine-gap (Gotoh) distance per pair -> (int64 values, null mask).

@@ -273,6 +273,21 @@ def osa_distance_udf(score_cutoff: Optional[int] = None):
     return _once(_udf)
 
 
+def damerau_distance_udf(score_cutoff: Optional[int] = None):
+    """Unrestricted Damerau-Levenshtein distance column — engine extra
+    (kernels.damerau_distance, Lowrance-Wagner): adjacent transposition
+    without OSA's no-substring-edited-twice restriction; reference cutoff
+    codomain rule.  The driver oracle checks this against DuckDB's
+    independent damerau_levenshtein builtin."""
+
+    @pandas_udf(LongType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        vals, nulls = batch.batch_damerau(a.tolist(), b.tolist(), score_cutoff=score_cutoff)
+        return _mask(vals, nulls, "Int64")
+
+    return _once(_udf)
+
+
 def affine_gap_udf(gap_open: int = 2, gap_extend: int = 1, sub_cost: int = 2,
                    score_cutoff: Optional[int] = None):
     """Affine-gap (Gotoh) alignment distance column — engine extra

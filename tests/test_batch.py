@@ -149,6 +149,28 @@ def test_batch_osa_fallback_identical(monkeypatch):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("cutoff", [None, 0, 4, 100])
+def test_batch_damerau(cutoff):
+    """C full-matrix Lowrance-Wagner == scalar kernel (incl. the
+    unrestricted 'ca'->'abc'=2 case and cutoff clamping)."""
+    pairs = PAIRS + [("ab", "ba"), ("ca", "abc"), ("abcdef", "abdcef"),
+                     ("lewenstein" * 3, "levenshtein" * 3)]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got, _ = batch.batch_damerau(a, b, score_cutoff=cutoff)
+    exp = [K.damerau_distance(x, y, score_cutoff=cutoff) for x, y in pairs]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_batch_damerau_fallback_identical(monkeypatch):
+    monkeypatch.setattr(cbuild, "_lib", None)
+    monkeypatch.setattr(cbuild, "_tried", True)
+    sub = PAIRS[:50] + [("ab", "ba"), ("ca", "abc")]
+    got, _ = batch.batch_damerau([p[0] for p in sub], [p[1] for p in sub])
+    exp = [K.damerau_distance(x, y) for x, y in sub]
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_batch_affine_gap_matches_scalar():
     got, _ = batch.batch_affine_gap(A[:100], B[:100])
     exp = [K.affine_gap_distance(x, y) for x, y in PAIRS[:100]]

@@ -6,6 +6,7 @@ listed in SURVEY.md §5.2 / FIXTURES.md F6.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -225,6 +226,77 @@ def _osa_quadratic(a: str, b: str) -> int:
             if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
                 d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
     return d[la][lb]
+
+
+def _damerau_textbook(a: str, b: str) -> int:
+    """Lowrance-Wagner pseudocode transcription (the classic d[-1] sentinel
+    form) as the unrestricted-DL reference for the vectorized kernel."""
+    da: dict = {}
+    m, n = len(a), len(b)
+    inf = m + n
+    d = [[inf] * (n + 2) for _ in range(m + 2)]
+    for i in range(m + 1):
+        d[i + 1][1] = i
+    for j in range(n + 1):
+        d[1][j + 1] = j
+    for i in range(1, m + 1):
+        db = 0
+        for j in range(1, n + 1):
+            k = da.get(b[j - 1], 0)
+            ell = db
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                db = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),
+            )
+        da[a[i - 1]] = i
+    return d[m + 1][n + 1]
+
+
+def test_damerau_golden():
+    # THE unrestricted case OSA forbids: transpose then edit the substring
+    assert K.damerau_distance("ca", "abc") == 2
+    assert K.osa_distance("ca", "abc") == 3
+    assert K.damerau_distance("ab", "ba") == 1
+    assert K.damerau_distance("", "abc") == 3
+    assert K.damerau_distance("abc", "") == 3
+    assert K.damerau_distance("abc", "abc") == 0
+    assert K.damerau_distance("abcdef", "abdcef") == 1
+    assert K.damerau_distance("ab", "ba", score_cutoff=0) == 1  # cutoff+1
+    assert K.damerau_distance("abcd", "dcba", score_cutoff=1) == 2
+    assert K.damerau_distance(b"ca", b"abc") == 2  # bytes mode
+    with pytest.raises(TypeError):
+        K.damerau_distance("ab", b"ba")
+
+
+@settings(max_examples=400, deadline=None)
+@given(short_texts, short_texts)
+def test_damerau_matches_textbook(a, b):
+    dl = K.damerau_distance(a, b)
+    assert dl == _damerau_textbook(a, b)
+    # sandwich: lev >= osa >= unrestricted DL
+    assert K.distance(a, b) >= K.osa_distance(a, b) >= dl
+
+
+def test_damerau_matches_duckdb_bytes():
+    """DuckDB's damerau_levenshtein is an independent implementation but
+    byte-based — so feed the kernel the UTF-8 BYTES and the engines must
+    agree exactly, including non-ASCII (the driver oracle runs the same
+    builtin on the all-ASCII corpus where bytes == codepoints)."""
+    duckdb = pytest.importorskip("duckdb")
+    import random
+
+    con = duckdb.connect()
+    rng = random.Random(99)
+    for _ in range(300):
+        x = "".join(rng.choice("abαβγ xy") for _ in range(rng.randrange(0, 40)))
+        y = "".join(rng.choice("abαβγ xy") for _ in range(rng.randrange(0, 40)))
+        want = con.sql(
+            "select damerau_levenshtein(?, ?)", params=[x, y]
+        ).fetchone()[0]
+        assert K.damerau_distance(x.encode(), y.encode()) == want, (x, y)
 
 
 def test_osa_golden():
