@@ -56,6 +56,8 @@ agreements into match decisions) -- net-new engine surface.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +70,7 @@ __all__ = [
     "tf_value_shares",
     "fs_tf_adjust_pairs",
     "mutual_best_match",
+    "greedy_one_to_one",
 ]
 
 _PPM = 1_000_000
@@ -312,6 +315,16 @@ def mutual_best_match(
     )
     if min_score is not None:
         s = s.where(F.col("score") >= min_score)
+    return _mutual_best(s).select(
+        "id_a", "id_b", F.col("score").alias(score_col)
+    )
+
+
+def _mutual_best(s: DataFrame) -> DataFrame:
+    """Locally-dominant edges of s(id_a, id_b, score): (a, b) such that the
+    edge is both endpoints' best under the strict total edge order
+    (score DESC, id_a ASC, id_b ASC) — per side that is max-score-then-
+    min-partner-id, two plain aggregates, no window."""
 
     def best(side: str, partner: str) -> DataFrame:
         mx = s.groupBy(side).agg(F.max("score").alias("score"))
@@ -322,9 +335,84 @@ def mutual_best_match(
         )
     ba = best("id_a", "id_b")          # a -> its unique best b
     bb = best("id_b", "id_a")          # b -> its unique best a
-    return ba.join(bb, ["id_a", "id_b", "score"]).select(
-        "id_a", "id_b", F.col("score").alias(score_col)
+    return ba.join(bb, ["id_a", "id_b", "score"]).select("id_a", "id_b", "score")
+
+
+def greedy_one_to_one(
+    scored: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score_ppm",
+    min_score: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Greedy maximum-weight bipartite 1:1 matching, distributed via
+    iterated locally-dominant edges (Preis 1999; Manne & Bisseling 2007):
+    each round keeps every edge that is BOTH endpoints' best remaining
+    partner, then drops all edges touching matched nodes.  With the strict
+    total edge order (score DESC, id_a ASC, id_b ASC) the union over
+    rounds equals the SEQUENTIAL greedy matching by that order exactly —
+    property-tested against a driver-side sorted greedy in
+    tests/test_linkage.py — while every round is two aggregates + three
+    equi-joins per side, nothing sequential.  Greedy is a 1/2-approximation
+    to the maximum-weight matching; ``mutual_best_match`` is exactly the
+    first round (the conservative subset).
+
+    Returns (id_a, id_b, score_col, round) with ``round`` the 1-based
+    iteration the pair was matched in (round 1 = the mutual-best set; a
+    value-checkable convergence trace).  Rounds needed = the length of the
+    longest preference chain — O(log E) expected on noisy-similarity
+    graphs, worst case a monotone score path.  If edges remain after
+    ``max_rounds`` the result is the greedy PREFIX (every returned pair is
+    final — later rounds can only add pairs, never change earlier ones) and
+    a RuntimeWarning names the leftover edge count.
+
+    Scale shape: the active edge set shrinks geometrically in practice;
+    each round shuffles only (id, score)-width rows; localCheckpoint per
+    round truncates the growing plan exactly like connected_components.
+    """
+    s = scored.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"),
+        F.col(score_col).alias("score"),
     )
+    if min_score is not None:
+        s = s.where(F.col("score") >= min_score)
+    s = s.localCheckpoint()
+    matched = []
+    leftover = 0
+    for rnd in range(1, max_rounds + 1):
+        m = _mutual_best(s).localCheckpoint()
+        n_matched = m.count()
+        if n_matched == 0:
+            leftover = 0
+            break
+        matched.append(m.withColumn("round", F.lit(rnd)))
+        s = (
+            s.join(m.select("id_a"), "id_a", "left_anti")
+            .join(m.select("id_b"), "id_b", "left_anti")
+            .localCheckpoint()
+        )
+        leftover = s.count()
+        if leftover == 0:
+            break
+    if leftover:
+        warnings.warn(
+            f"greedy_one_to_one stopped at max_rounds={max_rounds} with "
+            f"{leftover} candidate edges unprocessed; the returned matching "
+            "is the greedy prefix (all returned pairs are final). Raise "
+            "max_rounds to run to the fixpoint.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if not matched:
+        return s.select(
+            "id_a", "id_b", F.col("score").alias(score_col),
+            F.lit(1).alias("round"),
+        ).limit(0)
+    out = matched[0]
+    for m in matched[1:]:
+        out = out.unionByName(m)
+    return out.select("id_a", "id_b", F.col("score").alias(score_col), "round")
 
 
 def fs_score_pairs(

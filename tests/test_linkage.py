@@ -266,6 +266,67 @@ def test_tf_adjustment_direction_and_arithmetic(spark):
     assert out[7].tf_p_ppm is None and out[7].tf_weight_ppm == base[7]
 
 
+def _sequential_greedy(rows):
+    """Driver-side sequential greedy matching by the strict total edge
+    order (score DESC, id_a ASC, id_b ASC) — the spec greedy_one_to_one
+    must reproduce exactly."""
+    used_a, used_b, out = set(), set(), {}
+    for a, b, sc in sorted(rows, key=lambda r: (-r[2], r[0], r[1])):
+        if a not in used_a and b not in used_b:
+            used_a.add(a)
+            used_b.add(b)
+            out[(a, b)] = sc
+    return out
+
+
+def test_greedy_one_to_one_equals_sequential_greedy(spark):
+    import random
+
+    from levsim.linkage import greedy_one_to_one
+
+    rng = random.Random(13)
+    for trial in range(4):
+        # heavy score ties (small range) force the id tie-breaks to matter
+        rows = [(a, 100 + b, rng.randrange(5))
+                for a in range(15) for b in range(12) if rng.random() < 0.4]
+        if not rows:
+            continue
+        got = {(r.id_a, r.id_b): r.score_ppm
+               for r in greedy_one_to_one(
+                   spark.createDataFrame(
+                       rows, "id_a long, id_b long, score_ppm long")).collect()}
+        assert got == _sequential_greedy(rows), f"trial {trial}"
+
+
+def test_greedy_one_to_one_rounds_and_chain(spark):
+    from levsim.linkage import greedy_one_to_one
+
+    # preference chain: only the top remaining edge is mutual each round
+    rows = [(1, 101, 90), (2, 101, 80), (2, 102, 70), (3, 102, 60), (3, 103, 50)]
+    s = spark.createDataFrame(rows, "id_a long, id_b long, score_ppm long")
+    got = {(r.id_a, r.id_b): (r.score_ppm, r.round)
+           for r in greedy_one_to_one(s).collect()}
+    assert got == {(1, 101): (90, 1), (2, 102): (70, 2), (3, 103): (50, 3)}
+    # max_rounds prefix + warning
+    import warnings as W
+
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        prefix = {(r.id_a, r.id_b)
+                  for r in greedy_one_to_one(s, max_rounds=2).collect()}
+    assert prefix == {(1, 101), (2, 102)}
+    assert any("greedy prefix" in str(c.message) for c in caught)
+
+
+def test_greedy_one_to_one_empty(spark):
+    from levsim.linkage import greedy_one_to_one
+
+    s = spark.createDataFrame([], "id_a long, id_b long, score_ppm long")
+    out = greedy_one_to_one(s)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "score_ppm", "round"]
+
+
 def test_mutual_best_match_reciprocity_and_ties(spark):
     from levsim.linkage import mutual_best_match
 
