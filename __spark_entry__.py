@@ -1406,6 +1406,50 @@ def q_bcubed_overlap(spark, sf_dir):
     return bcubed_overlap_table(d, id_col="doc_id")
 
 
+def q_cluster_purity(spark, sf_dir):
+    """Purity / inverse purity / ppm harmonic mean (evaluate.
+    purity_components; Zhao & Karypis 2001): same perturbed clustering as
+    q_bcubed_overlap (every 17th doc splits into its own '_x' sub-cluster)
+    so both metrics are strictly below 1e6 ppm.  Exact BIGINT majority
+    counts + floor-div ppm; the oracle replays the overlap cells, both
+    per-side max sums and the harmonic fold."""
+    from levsim.evaluate import purity_components
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(":", "lang", "source").alias("entity_id"),
+        F.concat(
+            F.concat_ws(":", "lang", "source"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("_x")).otherwise(F.lit("")),
+        ).alias("cluster_id"),
+    )
+    return purity_components(d, id_col="doc_id")
+
+
+def _cluster_purity_oracle_sql() -> str:
+    return (
+        "WITH a AS (SELECT doc_id, lang || ':' || source AS t, "
+        "lang || ':' || source || "
+        "(CASE WHEN doc_id % 17 = 0 THEN '_x' ELSE '' END) AS c "
+        "FROM documents), "
+        "cells AS (SELECT c, t, CAST(count(*) AS BIGINT) AS ni "
+        "FROM a GROUP BY c, t), "
+        "pc AS (SELECT c, max(ni) AS mx FROM cells GROUP BY c), "
+        "pt AS (SELECT t, max(ni) AS mx FROM cells GROUP BY t), "
+        "agg AS (SELECT (SELECT CAST(sum(ni) AS BIGINT) FROM cells) AS n, "
+        "(SELECT CAST(sum(mx) AS BIGINT) FROM pc) AS sum_c_max, "
+        "(SELECT CAST(sum(mx) AS BIGINT) FROM pt) AS sum_t_max) "
+        "SELECT n, sum_c_max, sum_t_max, "
+        "(1000000 * sum_c_max) // greatest(1, n) AS purity_ppm, "
+        "(1000000 * sum_t_max) // greatest(1, n) AS inv_purity_ppm, "
+        "(2 * ((1000000 * sum_c_max) // greatest(1, n)) "
+        "* ((1000000 * sum_t_max) // greatest(1, n))) // "
+        "greatest(1, ((1000000 * sum_c_max) // greatest(1, n)) "
+        "+ ((1000000 * sum_t_max) // greatest(1, n))) AS purity_f_ppm "
+        "FROM agg"
+    )
+
+
 def q_fuzzy_dict_match(spark, sf_dir):
     """SymSpell fuzzy dictionary matching (spellmatch.fuzzy_dict_match,
     round 5): the 50 most frequent corpus tokens form the dictionary;
@@ -3266,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) never driver-checked: new this round --
         "damerau_distance_pairs": q_damerau_distance_pairs,
         "greedy_matching": q_greedy_matching,
+        "cluster_purity": q_cluster_purity,
         "mutual_best_match": q_mutual_best_match,
         "blocking_quality": q_blocking_quality,
         "soft_tfidf_pairs": q_soft_tfidf,
@@ -3307,7 +3352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
         "chunk_documents": q_chunk_documents,
-        "token_shards": q_token_shards,
         "pii_redaction_stats": q_pii_redaction_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
@@ -3322,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "canonical_url_docs": q_canonical_url_docs,
         "dataset_split_assign": q_dataset_split_assign,
+        "token_shards": q_token_shards,
         "punct_alpha_stats": q_punct_alpha_stats,
         "shard_manifests": q_shard_manifests,
         "median_improve_chars": q_median_improve_chars,
@@ -4727,6 +4772,7 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality": _blocking_quality_oracle_sql(),
         "damerau_distance_pairs": _damerau_oracle_sql(),
         "greedy_matching": _greedy_matching_oracle_sql(),
+        "cluster_purity": _cluster_purity_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

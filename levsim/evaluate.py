@@ -133,6 +133,48 @@ def bcubed_collected(
     return {"n": n, "precision": p, "recall": rr, "f1": f1}
 
 
+def purity_components(
+    assigned: DataFrame,
+    id_col: str = "url",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "entity_id",
+) -> DataFrame:
+    """Purity / inverse purity as ONE row of exact BIGINT components
+    (Zhao & Karypis 2001; Amigo et al. 2009 §2 — the majority-vote
+    cluster-quality pair: purity = (1/N) Σ_c max_t |c ∩ t| penalizes
+    mixing entities inside a cluster, inverse purity = (1/N) Σ_t max_c
+    |c ∩ t| penalizes splitting an entity across clusters; each alone is
+    gameable — singletons give purity 1, one giant cluster gives inverse
+    purity 1 — so both are emitted, plus their ppm harmonic mean F).
+
+    Everything is counts, max and sum over the same overlap-cell table as
+    B-cubed (``ni = |cluster ∩ entity|``), followed by ppm floor division
+    — exact cross-engine, no float.  Scale shape: two groupBys over
+    overlap cells (bounded by #(cluster, entity) overlaps, never by
+    records) and one scalar row out; fully partial-aggregable.
+    """
+    cells = bcubed_overlap_table(assigned, id_col, cluster_col, truth_col)
+    per_c = cells.groupBy("cluster_id").agg(F.max("ni").alias("mx"))
+    per_t = cells.groupBy("entity_id").agg(F.max("ni").alias("mx"))
+    counts = (
+        cells.agg(F.sum("ni").cast("long").alias("n"))
+        .crossJoin(per_c.agg(F.sum("mx").cast("long").alias("sum_c_max")))
+        .crossJoin(per_t.agg(F.sum("mx").cast("long").alias("sum_t_max")))
+    )
+    return counts.select(
+        "n", "sum_c_max", "sum_t_max",
+        F.expr("(1000000 * sum_c_max) div greatest(1, n)").alias("purity_ppm"),
+        F.expr("(1000000 * sum_t_max) div greatest(1, n)").alias("inv_purity_ppm"),
+        # harmonic mean in ppm: 2*p*i/(p+i), floor at the very end
+        F.expr(
+            "(2 * ((1000000 * sum_c_max) div greatest(1, n)) "
+            "* ((1000000 * sum_t_max) div greatest(1, n))) div "
+            "greatest(1, ((1000000 * sum_c_max) div greatest(1, n)) "
+            "+ ((1000000 * sum_t_max) div greatest(1, n)))"
+        ).alias("purity_f_ppm"),
+    )
+
+
 def blocking_quality(
     candidates: DataFrame,
     truth: DataFrame,

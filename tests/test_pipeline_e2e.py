@@ -136,6 +136,36 @@ def test_bcubed_hand_computed(spark):
     assert bcubed(empty, id_col="url")["f1"] == 1.0
 
 
+def test_purity_hand_computed(spark):
+    """Purity on the same hand case as bcubed: entities {1,2,3} / {4,5},
+    clusters {1,2} / {3,4,5}.
+      purity: max-overlap of c1 is 2 (e1), of c2 is 2 (e2) -> 4/5
+      inverse purity: max of e1 is 2 (c1), of e2 is 2 (c2) -> 4/5
+    Degenerate gaming checks: all-singletons -> purity 1e6 ppm but
+    inverse purity = (1 + 1) / 5? no — max per entity is 1, sum 2 -> 2/5;
+    one-giant-cluster -> inverse purity 1e6 but purity = 3/5."""
+    from levsim.evaluate import purity_components
+
+    rows = [(1, "e1", "c1"), (2, "e1", "c1"), (3, "e1", "c2"),
+            (4, "e2", "c2"), (5, "e2", "c2")]
+    df = spark.createDataFrame(rows, "url long, entity_id string, cluster_id string")
+    r = purity_components(df, id_col="url").collect()[0]
+    assert (r.n, r.sum_c_max, r.sum_t_max) == (5, 4, 4)
+    assert r.purity_ppm == r.inv_purity_ppm == 800_000
+    assert r.purity_f_ppm == 800_000
+    single = df.withColumn("cluster_id", F.col("url").cast("string"))
+    rs = purity_components(single, id_col="url").collect()[0]
+    assert rs.purity_ppm == 1_000_000
+    assert rs.inv_purity_ppm == 400_000
+    giant = df.withColumn("cluster_id", F.lit("g"))
+    rg = purity_components(giant, id_col="url").collect()[0]
+    assert rg.inv_purity_ppm == 1_000_000
+    assert rg.purity_ppm == 600_000
+    perfect = df.withColumn("cluster_id", F.col("entity_id"))
+    rp = purity_components(perfect, id_col="url").collect()[0]
+    assert rp.purity_ppm == rp.inv_purity_ppm == rp.purity_f_ppm == 1_000_000
+
+
 def test_bcubed_distributive_matches_collected(spark):
     """Round-6 VERDICT #4: the single-agg distributive bcubed must agree
     with the retained collect-based cross-check on a fragmented random
