@@ -1406,6 +1406,48 @@ def q_bcubed_overlap(spark, sf_dir):
     return bcubed_overlap_table(d, id_col="doc_id")
 
 
+def q_edit_distance_join(spark, sf_dir):
+    """Ed-Join q-gram-prefix edit-distance self-join (extras.dedup.
+    edit_distance_join; Gravano 2001 / Xiao Ed-Join 2008) at tau=3 over
+    the corpus UNION a perturbed copy of every 5th doc (chars 3/4 swapped
+    + char 7 dropped = <= 3 edits, identically in the oracle) so within-tau
+    pairs exist beyond the exact dups.  The oracle BRUTE-FORCES all pairs
+    of the union with DuckDB's independent levenshtein builtin behind the
+    same |len diff| <= tau prefilter — exact set equality proves the
+    occurrence-tagged prefix filter loses no pair (the
+    prefix_jaccard_join recall-evidence pattern applied to edit
+    distance)."""
+    from levsim.extras.dedup import edit_distance_join
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 2), F.substring("text", 4, 1),
+            F.substring("text", 3, 1), F.substring("text", 5, 2),
+            F.expr("substring(text, 8)"),
+        ).alias("text"),
+    )
+    u = d.unionByName(pert)
+    return edit_distance_join(u, "doc_id", "text", tau=3, q=3)
+
+
+def _edit_distance_join_oracle_sql() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, "
+        "substr(text, 1, 2) || substr(text, 4, 1) || substr(text, 3, 1) || "
+        "substr(text, 5, 2) || substr(text, 8) "
+        "FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT id_a, id_b, dist FROM ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+        "FROM u a JOIN u b ON a.doc_id < b.doc_id "
+        "AND abs(length(a.text) - length(b.text)) <= 3"
+        ") WHERE dist <= 3"
+    )
+
+
 def q_cluster_purity(spark, sf_dir):
     """Purity / inverse purity / ppm harmonic mean (evaluate.
     purity_components; Zhao & Karypis 2001): same perturbed clustering as
@@ -3311,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "damerau_distance_pairs": q_damerau_distance_pairs,
         "greedy_matching": q_greedy_matching,
         "cluster_purity": q_cluster_purity,
+        "edit_distance_join": q_edit_distance_join,
         "mutual_best_match": q_mutual_best_match,
         "blocking_quality": q_blocking_quality,
         "soft_tfidf_pairs": q_soft_tfidf,
@@ -3351,7 +3394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_text_stats": q_distinct_text_stats,
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
-        "chunk_documents": q_chunk_documents,
         "pii_redaction_stats": q_pii_redaction_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
@@ -3367,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_docs": q_canonical_url_docs,
         "dataset_split_assign": q_dataset_split_assign,
         "token_shards": q_token_shards,
+        "chunk_documents": q_chunk_documents,
         "punct_alpha_stats": q_punct_alpha_stats,
         "shard_manifests": q_shard_manifests,
         "median_improve_chars": q_median_improve_chars,
@@ -4773,6 +4816,7 @@ def oracle_sql() -> dict[str, str]:
         "damerau_distance_pairs": _damerau_oracle_sql(),
         "greedy_matching": _greedy_matching_oracle_sql(),
         "cluster_purity": _cluster_purity_oracle_sql(),
+        "edit_distance_join": _edit_distance_join_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

@@ -952,6 +952,145 @@ def prefix_filtered_jaccard_pairs(
     )
 
 
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: int = 3,
+    q: int = 3,
+) -> DataFrame:
+    """All-pairs edit-distance join: every pair with Levenshtein distance
+    <= ``tau``, WITHOUT an all-pairs comparison — Ed-Join-style q-gram
+    prefix filtering (Gravano et al. VLDB 2001 count/length filters;
+    Xiao/Wang/Lin Ed-Join PVLDB 2008 constant-size prefixes).
+
+    Losslessness: tokenize each string into OCCURRENCE-TAGGED q-grams
+    (the i-th occurrence of gram g is the token (g, i) — so matching
+    tokens between two strings is exactly their gram-multiset
+    intersection).  One edit destroys at most q grams, so dist(a,b) <= tau
+    forces shared tokens >= max(n_a, n_b) - q*tau with n = len - q + 1
+    grams.  When at least one side has n > q*tau that bound LB is >= 1 and
+    the standard prefix-filter theorem applies: ordering every string's
+    tokens by a global total order (token document-frequency ascending,
+    then gram, then occurrence), prefixes of n - LB + 1 <= q*tau + 1
+    tokens on each side must share a token — so the equi-join on the
+    constant-size (q*tau + 1)-token prefixes finds every such pair.  Pairs
+    where BOTH sides have n <= q*tau grams (length <= q*(tau+1) - 1,
+    including texts shorter than q with no grams at all) can share zero
+    grams while still being within tau, so ALL short-short pairs flow
+    through a separate length-bucket pass: buckets of width tau + 1, one
+    side also emitting its neighbor buckets, so any |len_a - len_b| <= tau
+    pair meets in some bucket.  The length filter |len_a - len_b| <= tau
+    prunes both passes.  Verification is the banded Levenshtein kernel
+    with score_cutoff = tau (O(tau * len) per pair, the reference
+    cutoff+1 rule turning into a plain <= tau predicate).  Recall-1.0 is
+    property-tested against a brute-force oracle on planted-typo corpora
+    in tests/test_extras.py; the driver query's DuckDB oracle brute-forces
+    the corpus with its independent levenshtein builtin.
+
+    Scale shape: candidate generation shuffles only (token, id, len) rows
+    from constant-size prefixes — rarest-first ordering keeps frequent
+    grams out of prefixes, bounding join fan-out exactly like
+    prefix_filtered_jaccard_pairs; the short-short bucket pass touches
+    only strings of <= q*(tau+1) - 1 chars (17 for the q=3, tau=4
+    defaults — negligible in a web corpus, quadratic only within a
+    length-(tau+1) bucket of them).  Verification re-joins texts by id
+    (data-parallel) and pays O(tau * len) per candidate.
+    """
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    from ..udfs import lev_distance_udf
+
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.length(text_col).cast("long").alias("len"),
+        )
+        .where(F.col("text").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    short_len = q * (tau + 1) - 1
+
+    # --- prefix pass: every doc with >= 1 gram contributes its (up to)
+    # q*tau + 1 rarest occurrence-tagged grams ---
+    t = F.col("text")
+    grams = F.when(
+        F.col("len") >= q,
+        F.transform(
+            F.sequence(F.lit(1), F.col("len") - (q - 1)),
+            lambda i: t.substr(i, F.lit(q)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = (
+        base.select("doc_id", "len", F.posexplode(grams).alias("p", "g"))
+        .groupBy("doc_id", "len", "g")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select("doc_id", "len", "g", F.posexplode("ps").alias("occ", "p"))
+        .drop("p")
+    )
+    dfq = toks.groupBy("g", "occ").agg(F.count("*").alias("dfq"))
+    pref = (
+        toks.join(dfq, ["g", "occ"])
+        .groupBy("doc_id", "len")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "g", "occ"))).alias("arr"))
+        .select(
+            "doc_id", "len",
+            F.explode(F.slice("arr", 1, q * tau + 1)).alias("s"),
+        )
+        .select("doc_id", "len", F.col("s.g").alias("g"), F.col("s.occ").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
+    pa = pref.select(F.col("doc_id").alias("id_a"), F.col("len").alias("la"), "g", "occ")
+    pb = pref.select(F.col("doc_id").alias("id_b"), F.col("len").alias("lb"), "g", "occ")
+    cand_pref = (
+        pa.join(pb, ["g", "occ"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= tau)
+            # prefix theorem needs one side long; short-short pairs are the
+            # bucket pass's job (keeping them out avoids double work)
+            & ((F.col("la") > short_len) | (F.col("lb") > short_len))
+        )
+        .select("id_a", "id_b")
+    )
+
+    # --- short-short pass: length buckets of width tau + 1; side b also
+    # emits neighbor buckets so any |la - lb| <= tau pair meets ---
+    shorts = base.where(F.col("len") <= short_len).select("doc_id", "len")
+    sa = shorts.select(
+        F.col("doc_id").alias("id_a"), F.col("len").alias("la"),
+        (F.col("len") / (tau + 1)).cast("long").alias("bkt"),
+    )
+    sb = shorts.select(
+        F.col("doc_id").alias("id_b"), F.col("len").alias("lb"),
+        F.explode(
+            F.array(*[(F.col("len") / (tau + 1)).cast("long") + d for d in (-1, 0, 1)])
+        ).alias("bkt"),
+    )
+    cand_short = (
+        sa.join(sb, "bkt")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= tau)
+        )
+        .select("id_a", "id_b")
+    )
+
+    cand = cand_pref.unionByName(cand_short).dropDuplicates(["id_a", "id_b"])
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", lev_distance_udf(score_cutoff=tau)("text_a", "text_b"))
+        .where(F.col("dist") <= tau)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def sparse_token_cosine_pairs(
     docs: DataFrame,
     pairs: DataFrame,

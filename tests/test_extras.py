@@ -615,6 +615,71 @@ def _brute_jaccard_pairs(texts, threshold, shingle_k):
     return out
 
 
+def _brute_edit_pairs(texts, tau):
+    from levsim import kernels as K
+
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = K.distance(texts[i], texts[j], score_cutoff=tau)
+            if d <= tau:
+                out.add((i, j, d))
+    return out
+
+
+@pytest.mark.parametrize("tau,q", [(1, 3), (2, 3), (3, 2), (4, 3), (0, 3)])
+def test_edit_distance_join_is_lossless(spark, tau, q):
+    """Ed-Join q-gram-prefix self-join == brute force: the occurrence-
+    tagged prefix filter and the short-short bucket pass lose no pair and
+    verification admits no false positive.  The corpus mixes planted
+    typo families (substitute / delete / insert / transpose+append), exact
+    dups, strings shorter than q (zero grams), empties, and random
+    unrelated strings — short-short, short-long and long-long pairs all
+    occur."""
+    import random
+
+    from levsim.extras import dedup
+
+    rng = random.Random(tau * 31 + q)
+    alpha = "abcdef "
+    texts = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+    # planted near-duplicates of random hosts, each within small tau
+    for k in range(12):
+        src = texts[rng.randrange(40)]
+        t = list(src)
+        if t and k % 4 == 0:
+            t[rng.randrange(len(t))] = rng.choice(alpha)       # substitute
+        elif t and k % 4 == 1:
+            del t[rng.randrange(len(t))]                        # delete
+        elif k % 4 == 2:
+            t.insert(rng.randrange(len(t) + 1), rng.choice(alpha))  # insert
+        else:
+            t.append(rng.choice(alpha))                         # append
+        texts.append("".join(t))
+    texts.append(texts[0])  # exact dup
+    texts.append("")
+    texts.append("ab")      # shorter than q
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in dedup.edit_distance_join(df, "doc_id", "text", tau=tau, q=q).collect()
+    }
+    assert got == _brute_edit_pairs(texts, tau)
+
+
+def test_edit_distance_join_validation(spark):
+    from levsim.extras import dedup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.edit_distance_join(df, "doc_id", "text", tau=-1)
+    with pytest.raises(ValueError):
+        dedup.edit_distance_join(df, "doc_id", "text", q=0)
+
+
 @pytest.mark.parametrize("dense_cap", [4096, 0])
 @pytest.mark.parametrize("threshold,shingle_k", [(0.5, 2), (0.34, 2), (0.7, 1)])
 def test_prefix_jaccard_join_is_lossless(spark, threshold, shingle_k, dense_cap):
