@@ -671,6 +671,45 @@ def q_kmv_token_sketch(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token sketch per lang (extras.sampling.
+    hll_components, p=8 / 256 buckets): the fixed-size max-mergeable
+    complement to the KMV sketch, checked EXACTLY, not statistically —
+    md5 hashing, bin()-based leading-zero ranks, the 2^20-scaled
+    indicator sum and the floor-div raw estimate are all integers both
+    engines replay bit-for-bit (alpha_ppm = 718273 for m=256)."""
+    from levsim.extras.sampling import hll_components
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.filter(F.split(F.col("text"), " "),
+                                   lambda t: t != F.lit(""))).alias("tok")
+    )
+    return hll_components(toks, ["lang"], "tok", p=8)
+
+
+def _hll_oracle_sql() -> str:
+    w2, wlit = 1 << 52, 52  # p = 8: 8 bucket bits, 52 suffix bits
+    return (
+        "WITH toks AS (SELECT lang, "
+        "unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok "
+        "FROM documents), "
+        "h AS (SELECT lang, " + _MD5_HASH15.format(t="CAST(tok AS VARCHAR)")
+        + " AS h FROM toks), "
+        f"b AS (SELECT lang, h // {w2} AS bkt, "
+        f"CAST(CASE WHEN h % {w2} = 0 THEN {wlit + 1} "
+        f"ELSE {wlit} - length(bin(h % {w2})) + 1 END AS BIGINT) AS rho FROM h), "
+        "pb AS (SELECT lang, bkt, max(rho) AS rho_max FROM b GROUP BY lang, bkt), "
+        "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS nonzero_buckets, "
+        "CAST(sum(1048576 // (1 << least(rho_max, 21))) AS BIGINT) AS s_present "
+        "FROM pb GROUP BY lang) "
+        "SELECT lang, CAST(256 AS BIGINT) AS m, nonzero_buckets, "
+        "CAST(s_present + (256 - nonzero_buckets) * 1048576 AS BIGINT) AS s_scaled, "
+        "CAST((718273::BIGINT * 256 * 256 * 1048576) // "
+        "(1000000::BIGINT * (s_present + (256 - nonzero_buckets) * 1048576)) "
+        "AS BIGINT) AS est_distinct FROM g"
+    )
+
+
 def q_token_stats_lang(spark, sf_dir):
     from levsim.extras.textstats import token_count
 
@@ -3327,33 +3366,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 14 never-checked new queries + 34 of the 41 queries whose
+    # window = 19 never-checked new queries + 29 of the 41 queries whose
     # last driver green was round 4 + 2 r5-window keepers whose VALUE
     # paths changed this round (canonical_selection / bcubed_overlap;
     # tfidf's round-6 change was an error-path guard only, so it rotates
-    # to the tail).  With 105 oracled queries (110 total) and a 50-slot
-    # window the budget is oversubscribed; the displaced r4-greens
+    # to the tail).  With 109 oracled queries (114 total) and a 50-slot
+    # window the budget is oversubscribed; the 12 displaced r4-greens
     # (punct_alpha_stats, shard_manifests, median_improve_chars,
-    # lang_id_ngram, embedding_norm — each trivial or sibling-covered:
-    # quality_components shares the with_textstats path, token_shards
-    # the prefix-sum shard path, median_chars/quickmedian the median
-    # code path, lang_id_pred the lang-id path, embedding_norm is one
-    # arithmetic HOF) age to two rounds and rotate first in r7; all
-    # five retain same-round local-gate value checks
-    # (CORRECTNESS_local_r06).
-    # Late round-6 additions (mutual_best_match / blocking_quality) enter
-    # section (1) as never-checked; to keep the marker at exactly 50 the
-    # two displaced r4-greens are length_histogram (trivial groupBy
-    # arithmetic) and fingerprint_docs (pure-column path shared with the
-    # driver-green textstats family) — both rotate first in r7 alongside
-    # the five displaced earlier, and both retain same-round local-gate
-    # value checks (CORRECTNESS_local_r06).
+    # lang_id_ngram, embedding_norm, length_histogram, fingerprint_docs,
+    # canonical_url_docs, dataset_split_assign, token_shards,
+    # chunk_documents, sample_per_group — each trivial or sibling-covered:
+    # pure-column
+    # regexp/hash/arithmetic paths, or sharing a driver-green sibling's
+    # code path — quality_components covers with_textstats,
+    # pii_redaction_stats the regexp chains, median/quickmedian_chars the
+    # median kernels, lang_id_pred the lang-id path, sample_per_group +
+    # shard manifests' r4 green the prefix-sum/sampling family) age to
+    # two rounds and rotate FIRST in r7; all 12 retain same-round
+    # local-gate value checks (CORRECTNESS_local_r06 at sf0.01 AND
+    # CORRECTNESS_local_r06_sf01 at sf0.1).
     return {
         # -- (1) never driver-checked: new this round --
         "damerau_distance_pairs": q_damerau_distance_pairs,
         "greedy_matching": q_greedy_matching,
         "cluster_purity": q_cluster_purity,
         "edit_distance_join": q_edit_distance_join,
+        "hll_distinct": q_hll_distinct,
         "mutual_best_match": q_mutual_best_match,
         "blocking_quality": q_blocking_quality,
         "soft_tfidf_pairs": q_soft_tfidf,
@@ -3380,7 +3418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cosine_pairs": q_token_cosine_pairs,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "kmv_token_sketch": q_kmv_token_sketch,
-        "sample_per_group": q_sample_per_group,
         "lev_distance_pairs": q_lev_distance_pairs,
         "lev_distance_cutoff": q_lev_distance_cutoff,
         "jaro_pairs": q_jaro_pairs,
@@ -3410,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_assign": q_dataset_split_assign,
         "token_shards": q_token_shards,
         "chunk_documents": q_chunk_documents,
+        "sample_per_group": q_sample_per_group,
         "punct_alpha_stats": q_punct_alpha_stats,
         "shard_manifests": q_shard_manifests,
         "median_improve_chars": q_median_improve_chars,
@@ -4817,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_matching": _greedy_matching_oracle_sql(),
         "cluster_purity": _cluster_purity_oracle_sql(),
         "edit_distance_join": _edit_distance_join_oracle_sql(),
+        "hll_distinct": _hll_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

@@ -118,6 +118,92 @@ def kmv_distinct_sketch(
     )
 
 
+def _hll_alpha_ppm(m: int) -> int:
+    """Flajolet et al. 2007 bias-correction constant as a ppm integer."""
+    if m == 16:
+        return 673_000
+    if m == 32:
+        return 697_000
+    if m == 64:
+        return 709_000
+    return round(1_000_000 * 0.7213 / (1 + 1.079 / m))
+
+
+def hll_components(
+    df: DataFrame,
+    group_cols: List[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group (Flajolet, Fusy,
+    Gandouet, Meunier 2007) — the fixed-size max-mergeable complement to
+    the bottom-k :func:`kmv_distinct_sketch`: KMV state grows with k,
+    HLL state is exactly m = 2**p small integers whatever the
+    cardinality, and merging two sketches is a per-bucket MAX (so the
+    same two-phase groupBy below IS the distributed merge).
+
+    Exact-integer surface so a SQL oracle replays it bit-for-bit: the
+    60-bit md5 hash splits into a p-bit bucket and a w = 60-p bit
+    suffix; rho = leading zeros of the suffix + 1 is computed WITHOUT
+    float log as w - bitlength + 1, with bitlength = length(bin(sfx))
+    (``bin`` drops leading zeros in both Spark and DuckDB; sfx = 0 means
+    rho = w + 1).  The indicator sum Z = sum(2^-rho_j) is held scaled by
+    2^20: s_scaled = sum over all m buckets of (2^20 >> rho_j), empty
+    buckets contributing 2^20 each (rho > 20 floors to 0 — negligible
+    terms, identically floored in both engines).  The raw HLL estimate
+    is then one BIGINT floor division
+        est = alpha_ppm * m^2 * 2^20  div  (1e6 * s_scaled)
+    (numerator < 8e17 for p <= 10, inside int64).  The small-range
+    linear-counting correction needs ln(), so the caller applies it from
+    the emitted components when nonzero_buckets < m (documented in
+    Flajolet §4: use m*ln(m/V) when est < 2.5m and V = m - nonzero > 0).
+
+    Scale shape: one groupBy to (group, bucket, rho_max) — at most
+    m rows per group whatever the input — then one groupBy to the
+    per-group row.  Nothing row-shaped survives the first aggregate.
+    """
+    if not 4 <= p <= 10:
+        raise ValueError("p must be in [4, 10] (m = 16..1024 buckets)")
+    m = 1 << p
+    w = 60 - p
+    alpha = _hll_alpha_ppm(m)
+    hashed = df.select(*group_cols, md5_long(F.col(value_col)).alias("h"))
+    # integer div/mod only: h is 60-bit, float division would lose bits
+    per_bucket = (
+        hashed.select(
+            *group_cols,
+            F.expr(f"h div {1 << w}L").alias("bkt"),
+            F.expr(
+                f"case when h % {1 << w}L = 0 then {w + 1}L "
+                f"else {w}L - length(bin(h % {1 << w}L)) + 1 end"
+            ).alias("rho"),
+        )
+        .groupBy(*group_cols, "bkt")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    scaled = F.expr("1048576L div shiftleft(1L, cast(least(rho_max, 21) as int))")
+    return (
+        per_bucket.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("nonzero_buckets"),
+            F.sum(scaled).cast("long").alias("s_present"),
+        )
+        .select(
+            *group_cols,
+            F.lit(m).cast("long").alias("m"),
+            "nonzero_buckets",
+            (F.col("s_present") + (F.lit(m) - F.col("nonzero_buckets")) * 1048576)
+            .cast("long").alias("s_scaled"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.expr(
+                f"({alpha}L * {m}L * {m}L * 1048576L) div (1000000L * s_scaled)"
+            ),
+        )
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     key_cols: List[str],

@@ -1360,6 +1360,59 @@ def test_bounded_topk_matches_naive_window(spark):
         bounded_topk_per_group(df, ["g"], "v", 0)
 
 
+def _hll_python_mirror(values, p):
+    """Exact integer replication of hll_components for one group."""
+    import hashlib
+
+    from levsim.extras.sampling import _hll_alpha_ppm
+
+    m, w = 1 << p, 60 - p
+    buckets = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bkt, sfx = h // (1 << w), h % (1 << w)
+        rho = (w + 1) if sfx == 0 else w - sfx.bit_length() + 1
+        buckets[bkt] = max(buckets.get(bkt, 0), rho)
+    s = sum(1048576 // (1 << min(r, 21)) for r in buckets.values())
+    s += (m - len(buckets)) * 1048576
+    est = (_hll_alpha_ppm(m) * m * m * 1048576) // (1000000 * s)
+    return len(buckets), s, est
+
+
+@pytest.mark.parametrize("p", [4, 8])
+def test_hll_components_exact_mirror_and_accuracy(spark, p):
+    """hll_components == a driver-side exact integer replication (every
+    bucket, the scaled indicator sum, and the floor-div estimate), and the
+    raw estimate lands within 4 standard errors (1.04/sqrt(m)) of the true
+    cardinality in the large-range regime."""
+    from levsim.extras.sampling import hll_components
+
+    vals_a = [f"v{i}" for i in range(5000)]
+    vals_b = [f"x{i}" for i in range(30)]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    rows += [("a", v) for v in vals_a[:700]]  # duplicates must not matter
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in hll_components(df, ["g"], "v", p=p).collect()}
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        nz, s, est = _hll_python_mirror(vals, p)
+        r = out[g]
+        assert (r.nonzero_buckets, r.s_scaled, r.est_distinct) == (nz, s, est)
+        assert r.m == 1 << p
+    m = 1 << p
+    rel = abs(out["a"].est_distinct - 5000) / 5000
+    assert rel <= 4 * 1.04 / (m ** 0.5)
+
+
+def test_hll_components_p_validation(spark):
+    from levsim.extras.sampling import hll_components
+
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    with pytest.raises(ValueError):
+        hll_components(df, ["g"], "v", p=3)
+    with pytest.raises(ValueError):
+        hll_components(df, ["g"], "v", p=11)
+
+
 def test_kmv_sketch_exact_and_estimate_branches(spark):
     from levsim.extras.sampling import kmv_distinct_sketch
 
