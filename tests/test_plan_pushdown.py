@@ -129,6 +129,39 @@ def test_snm_plan_shape(spark, pages_path):
             assert "partitionBy" not in line or "[]" not in line.split("partitionBy")[-1][:6]
 
 
+def test_edit_distance_join_plan_shape(spark, pages_path):
+    """Ed-Join structural pins: no cartesian product anywhere (candidate
+    generation is equi-joins on (gram, occ) tokens and length buckets),
+    no Window node, and the one Arrow stage is the banded verify UDF —
+    candidate pruning must never route through Python."""
+    from pyspark.sql import functions as F
+
+    from levsim.extras.dedup import edit_distance_join
+
+    d = spark.read.parquet(pages_path).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.substring("text", 1, 60).alias("text"))
+    out = edit_distance_join(d, "doc_id", "text", tau=2, q=3)
+    plan = _scan_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("ArrowEvalPython") == 1, "verify must be the only UDF stage"
+
+
+def test_greedy_matching_round_plan_shape(spark):
+    """One locally-dominant round is aggregates + equi-joins only: no
+    window sort, no Python stage, no cartesian product."""
+    from levsim.linkage import _mutual_best
+
+    s = spark.createDataFrame(
+        [(1, 101, 90), (2, 101, 80), (2, 102, 70)],
+        "id_a long, id_b long, score long")
+    plan = _scan_plan(_mutual_best(s))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_fuzz_prefilters_are_pre_udf_predicates(spark, pages_path):
     """Round-4 VERDICT #7: the partial_ratio char bound and token_set
     length bound must sit as Catalyst Filters BEFORE the Arrow scoring
