@@ -423,6 +423,43 @@ def q_phonetic_block_counts(spark, sf_dir):
     )
 
 
+def q_nysiis_block_counts(spark, sf_dir):
+    """NYSIIS phonetic blocking pass (normalize.nysiis_key; Taft 1970) —
+    the second encoder beside Soundex: key over each doc's first two
+    tokens, per-key doc and pair counts.  The rule table is ONE Python
+    list rendered to both engines (Spark regexp_replace chain /
+    nysiis_sql DuckDB chain — RE2-safe, no backrefs), so the oracle runs
+    the byte-identical transform; 320-string cross-engine fuzz plus the
+    canonical Taft examples (KNIGHT->NAGT, PHILLIPSON->FALAPS,
+    BROWN->BRAN) live in tests/test_blocking_candidates.py."""
+    from levsim.normalize import nysiis_key
+
+    d = _docs(spark, sf_dir).select(
+        nysiis_key(F.concat_ws(" ",
+                               F.split(F.col("text"), " ").getItem(0),
+                               F.split(F.col("text"), " ").getItem(1))).alias("nkey")
+    )
+    return (
+        d.groupBy("nkey")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("n_pairs", F.expr("n_docs * (n_docs - 1) div 2"))
+    )
+
+
+def _nysiis_oracle_sql() -> str:
+    from levsim.normalize import nysiis_sql
+
+    key = nysiis_sql(
+        "(string_split(text, ' ')[1] || ' ' || coalesce(string_split(text, ' ')[2], ''))"
+    )
+    return (
+        f"WITH k AS (SELECT {key} AS nkey FROM documents) "
+        "SELECT nkey, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs "
+        "FROM k GROUP BY nkey"
+    )
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (Hernández-Stolfo): every pair within a
     6-wide sliding window over docs sorted by the first 10 chars of the
@@ -3366,23 +3403,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # documented rows-only queries (no DuckDB oracle) sit at the very end --
     # they must never displace a value-checkable query from the window.
     # ROUND-6 ROTATION (the policy's second turn, round-5 VERDICT #1):
-    # window = 19 never-checked new queries + 29 of the 41 queries whose
+    # window = 20 never-checked new queries + 28 of the 41 queries whose
     # last driver green was round 4 + 2 r5-window keepers whose VALUE
     # paths changed this round (canonical_selection / bcubed_overlap;
     # tfidf's round-6 change was an error-path guard only, so it rotates
     # to the tail).  With 109 oracled queries (114 total) and a 50-slot
-    # window the budget is oversubscribed; the 12 displaced r4-greens
+    # window the budget is oversubscribed; the 13 displaced r4-greens
     # (punct_alpha_stats, shard_manifests, median_improve_chars,
     # lang_id_ngram, embedding_norm, length_histogram, fingerprint_docs,
     # canonical_url_docs, dataset_split_assign, token_shards,
-    # chunk_documents, sample_per_group — each trivial or sibling-covered:
+    # chunk_documents, sample_per_group, pii_redaction_stats — each
+    # trivial or sibling-covered:
     # pure-column
     # regexp/hash/arithmetic paths, or sharing a driver-green sibling's
     # code path — quality_components covers with_textstats,
     # pii_redaction_stats the regexp chains, median/quickmedian_chars the
     # median kernels, lang_id_pred the lang-id path, sample_per_group +
     # shard manifests' r4 green the prefix-sum/sampling family) age to
-    # two rounds and rotate FIRST in r7; all 12 retain same-round
+    # two rounds and rotate FIRST in r7; all 13 retain same-round
     # local-gate value checks (CORRECTNESS_local_r06 at sf0.01 AND
     # CORRECTNESS_local_r06_sf01 at sf0.1).
     return {
@@ -3392,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_purity": q_cluster_purity,
         "edit_distance_join": q_edit_distance_join,
         "hll_distinct": q_hll_distinct,
+        "nysiis_block_counts": q_nysiis_block_counts,
         "mutual_best_match": q_mutual_best_match,
         "blocking_quality": q_blocking_quality,
         "soft_tfidf_pairs": q_soft_tfidf,
@@ -3431,7 +3470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_text_stats": q_distinct_text_stats,
         "token_stats_lang": q_token_stats_lang,
         "repetition_ngram_stats": q_repetition_ngram_stats,
-        "pii_redaction_stats": q_pii_redaction_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_components": q_quality_components,
         "lang_id_pred": q_lang_id_pred,
@@ -3448,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "chunk_documents": q_chunk_documents,
         "sample_per_group": q_sample_per_group,
+        "pii_redaction_stats": q_pii_redaction_stats,
         "punct_alpha_stats": q_punct_alpha_stats,
         "shard_manifests": q_shard_manifests,
         "median_improve_chars": q_median_improve_chars,
@@ -4856,6 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_purity": _cluster_purity_oracle_sql(),
         "edit_distance_join": _edit_distance_join_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "nysiis_block_counts": _nysiis_oracle_sql(),
         "bm25_topk": (
             # full inverted-index BM25 replay in exact BIGINTs: postings /
             # doc-length / df tables, ppm length norm, ratio idf, top-5

@@ -72,6 +72,82 @@ def phonetic_key(col) -> Column:
     )
 
 
+# NYSIIS rule table (Taft 1970; public) — ONE source of truth rendered to
+# both engines: nysiis_key() folds it into Spark regexp_replace calls,
+# nysiis_sql() into the byte-identical DuckDB chain (RE2-safe: no
+# backreferences in patterns — duplicate collapse is per-letter
+# quantifiers like phonetic_key; '<1>' in a replacement renders as Java
+# '$1' / RE2 '\\1').  Documented variant: the classic per-character scan
+# applies H/W rules against the PREVIOUS KEY character including the
+# first; this chain transforms the rest-of-string only, so rules never
+# read across the first-char boundary (same spirit as phonetic_key's
+# omitted h/w exception — the chain itself is the deterministic spec).
+_NYSIIS_PREFIX = [
+    ("^MAC", "MCC"), ("^KN", "NN"), ("^K", "C"),
+    ("^(PH|PF)", "FF"), ("^SCH", "SSS"),
+]
+_NYSIIS_SUFFIX = [("(EE|IE)$", "Y"), ("(DT|RT|RD|NT|ND)$", "D")]
+_NYSIIS_BODY = (
+    [
+        ("EV", "AF"),
+        ("[AEIOU]", "A"),
+        ("Q", "G"), ("Z", "S"), ("M", "N"),
+        ("KN", "N"), ("K", "C"),
+        ("SCH", "SSS"), ("PH", "FF"),
+        ("AH([^A])", "AA<1>"),  # H between vowel and consonant -> prev (A)
+        ("AH$", "AA"),
+        ("([^A])H", "<1><1>"),  # H after consonant -> previous char
+        ("AW", "AA"),           # W after vowel -> previous vowel (A)
+    ]
+    + [(ch + "{2,}", ch) for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"]
+)
+_NYSIIS_FINAL = [("S$", ""), ("AY$", "Y"), ("A+$", "")]
+
+
+def nysiis_key(col, truncate: int = 6) -> Column:
+    """NYSIIS-style phonetic blocking key (Taft 1970) — the second
+    phonetic encoder beside :func:`phonetic_key` (Soundex keeps the
+    first letter + 3 digit classes; NYSIIS re-spells the whole name, so
+    the two block DIFFERENT typo families and multi-pass blocking wants
+    both).  Pure column expressions; see the rule-table comment for the
+    boundary variant.  Empty/non-alpha input yields ''."""
+    c = col if isinstance(col, Column) else F.col(col)
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    for pat, rep in _NYSIIS_PREFIX + _NYSIIS_SUFFIX:
+        s = F.regexp_replace(s, pat, rep.replace("<1>", "$1"))
+    first = F.substring(s, 1, 1)
+    rest = F.substring(s, 2, 2147483647)
+    for pat, rep in _NYSIIS_BODY + _NYSIIS_FINAL:
+        rest = F.regexp_replace(rest, pat, rep.replace("<1>", "$1"))
+    # collapse a duplicate at the first||rest seam (rest is internally
+    # collapsed already, so at most one copy can lead)
+    rest = F.when(
+        F.substring(rest, 1, 1) == first, F.substring(rest, 2, 2147483647)
+    ).otherwise(rest)
+    key = F.concat(first, rest)
+    if truncate:
+        key = F.substring(key, 1, truncate)
+    return key
+
+
+def nysiis_sql(expr: str, truncate: int = 6) -> str:
+    """Render the SAME rule table as a DuckDB SQL expression over
+    ``expr`` — the oracle side of :func:`nysiis_key` by construction."""
+    s = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    for pat, rep in _NYSIIS_PREFIX + _NYSIIS_SUFFIX:
+        s = f"regexp_replace({s}, '{pat}', '{rep.replace('<1>', chr(92) + '1')}', 'g')"
+    rest = f"substr({s}, 2)"
+    for pat, rep in _NYSIIS_BODY + _NYSIIS_FINAL:
+        rest = f"regexp_replace({rest}, '{pat}', '{rep.replace('<1>', chr(92) + '1')}', 'g')"
+    key = (
+        f"substr({s}, 1, 1) || (CASE WHEN substr({rest}, 1, 1) = substr({s}, 1, 1) "
+        f"THEN substr({rest}, 2) ELSE {rest} END)"
+    )
+    if truncate:
+        key = f"substr({key}, 1, {truncate})"
+    return key
+
+
 def token_set_strings(col_a, col_b) -> Column:
     """The three token-set comparison strings of token_set_ratio (fuzz
     family; engine extra beyond the reference exports) as a struct

@@ -239,6 +239,54 @@ def test_phonetic_key_golden(spark):
     assert got == cases
 
 
+def test_nysiis_key_golden(spark):
+    """Canonical Taft examples the chain reproduces exactly, plus typo
+    pairs that must collide (the blocking property) and degenerates."""
+    from levsim.normalize import nysiis_key
+
+    cases = {
+        "KNIGHT": "NAGT",
+        "knight": "NAGT",      # case-insensitive
+        "night": "NAGT",       # KN/N collision — the point of the encoder
+        "PHILLIPSON": "FALAPS",
+        "BROWN": "BRAN",
+        "BRAUN": "BRAN",       # phonetic collision
+        "Schmidt": "SNAD",
+        "PFISTER": "FASTAR",
+        "MacDonald": "MCDANA",
+        "O'Brien": "OBRAN",
+        "": "",
+        "42!": "",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.k for r in df.select("w", nysiis_key(F.col("w")).alias("k")).collect()}
+    assert got == cases
+
+
+def test_nysiis_cross_engine_parity(spark):
+    """The single rule table rendered to Spark and to DuckDB must produce
+    byte-identical keys — fuzzed over names and random apostrophe/space
+    strings (the oracle-by-construction property)."""
+    import random
+
+    duckdb = pytest.importorskip("duckdb")
+    pd = pytest.importorskip("pandas")
+
+    from levsim.normalize import nysiis_key, nysiis_sql
+
+    rng = random.Random(5)
+    names = ["KNIGHT", "MacDonald", "Phillipson", "Schmidt", "evEning",
+             "WASHINGTON", "AHAB", "shh", "Lawsonw", "day", "DAYE", ""]
+    names += ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz '")
+                      for _ in range(rng.randrange(0, 14))) for _ in range(200)]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [r.k for r in df.select(nysiis_key("name").alias("k")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"name": names}))
+    want = [r[0] for r in con.sql(f"select {nysiis_sql('name')} from t").fetchall()]
+    assert got == want
+
+
 def test_phonetic_blocking_pass(spark):
     from levsim.blocking import add_block_keys
 
