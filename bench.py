@@ -318,30 +318,13 @@ def main() -> None:
 
     bench("q11_fellegi_sunter", q11)
 
-    # q12: greedy 1:1 matching (round-6 operator): jw-scored bipartite
-    # graph within the standard blocks, iterated locally-dominant edges
-    # to the fixpoint (11 rounds at sf0.1) — the iterative-matching hot
-    # path (score once, then ids-only aggregate rounds over a shrinking
-    # active set).
-    def q12():
-        from levsim.linkage import greedy_one_to_one
-        from levsim.udfs import lev_jaro_winkler_udf
-
-        a = docs.where(F.length("text") % 2 == 0).select(
-            "lang", "source", F.col("doc_id").alias("id_a"),
-            F.col("text").alias("text_a"))
-        b = docs.where(F.length("text") % 2 == 1).select(
-            "lang", "source", F.col("doc_id").alias("id_b"),
-            F.col("text").alias("text_b"))
-        s = (
-            a.join(F.broadcast(b), ["lang", "source"])
-            .withColumn("_jw", lev_jaro_winkler_udf()("text_a", "text_b"))
-            .withColumn("score_ppm",
-                        F.expr("cast(round(_jw * 1000000) as bigint)"))
-        )
-        extra["greedy_matched"] = greedy_one_to_one(s, max_rounds=20).count()
-
-    bench("q12_greedy_matching", q12)
+    # greedy 1:1 matching (round-6 operator) is deliberately NOT a bench
+    # query: its cost is rounds x fixed per-job overhead (11 fixpoint
+    # rounds at sf0.1, ~58s measured — 3x the whole suite), which is a
+    # local-mode scheduling artifact, not a data-volume signal the suite
+    # tracks.  Its per-round plan shape is pinned in
+    # tests/test_plan_pushdown.py and its values in the greedy_matching
+    # driver query at both SFs.
 
     total = round(sum(timings.values()), 3)
     extra["samples"] = samples_all

@@ -380,11 +380,15 @@ def greedy_one_to_one(
     s = s.localCheckpoint()
     matched = []
     leftover = 0
+    exhausted = True
     for rnd in range(1, max_rounds + 1):
         m = _mutual_best(s).localCheckpoint()
-        n_matched = m.count()
-        if n_matched == 0:
-            leftover = 0
+        # one action per round: the matched count is both the convergence
+        # test and the progress signal (a non-empty active set always
+        # yields >= 1 locally-dominant edge, so n_matched == 0 iff the
+        # active set is empty)
+        if m.count() == 0:
+            exhausted = False
             break
         matched.append(m.withColumn("round", F.lit(rnd)))
         s = (
@@ -392,9 +396,8 @@ def greedy_one_to_one(
             .join(m.select("id_b"), "id_b", "left_anti")
             .localCheckpoint()
         )
+    if exhausted and matched:
         leftover = s.count()
-        if leftover == 0:
-            break
     if leftover:
         warnings.warn(
             f"greedy_one_to_one stopped at max_rounds={max_rounds} with "
