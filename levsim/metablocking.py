@@ -53,6 +53,7 @@ def comparison_edges(
     id_col: str = "doc_id",
     key_col: str = "block_key",
     max_block_size: int | None = None,
+    share_blocks: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cbs, arcs_ppm) for every distinct co-blocked pair.
 
@@ -61,21 +62,41 @@ def comparison_edges(
     BLOCKS, not assignment rows.  ``max_block_size`` drops oversized
     blocks entirely (the standard block-purging pre-pass; oversized
     blocks are pure noise and quadratic cost).
+
+    Plan shape (round-7): ONE exchange builds the weighted block table —
+    ``repartition(_bk)`` clusters each block into a single partition, so
+    the dedup aggregate AND the size window both run exchange-free on
+    top of it (HashPartitioning(_bk) satisfies both distributions); the
+    old groupBy(sizes)+join round-trip recomputed the distinct twice and
+    added two more exchanges.  ``share_blocks`` then materializes the
+    table once (lazy localCheckpoint) for BOTH self-join branches — the
+    same fix as ``candidates.candidate_pairs``: in the broadcast regime
+    the two sides otherwise recompute union+dedup+window independently
+    (measured 16.4s -> 2.2s on the round-7 q10 bench, identical edges).
+    Set ``share_blocks=False`` on a real cluster to keep lineage-based
+    fault recovery and let ReuseExchange dedup the SMJ-regime plan.
     """
-    b = blocks.select(
-        F.col(key_col).alias("_bk"), F.col(id_col).alias("_id")
-    ).distinct()
-    sizes = b.groupBy("_bk").agg(F.count("*").cast("long").alias("_bsz"))
+    from pyspark.sql import Window
+
+    b = (
+        blocks.select(F.col(key_col).alias("_bk"), F.col(id_col).alias("_id"))
+        .repartition("_bk")
+        .dropDuplicates(["_bk", "_id"])
+    )
+    b = b.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("_bk")).cast("long")
+    )
     # singleton blocks emit no pairs AND would zero the ||b||_pairs
     # divisor (ANSI div-by-zero) — drop them before the weight column
-    sizes = sizes.where(F.col("_bsz") >= 2)
+    b = b.where(F.col("_bsz") >= 2)
     if max_block_size is not None:
-        sizes = sizes.where(F.col("_bsz") <= int(max_block_size))
-    b = b.join(sizes, "_bk")
+        b = b.where(F.col("_bsz") <= int(max_block_size))
     b = b.withColumn(
         "_w_ppm",
         F.expr(f"cast({_PPM} as bigint) div (_bsz * (_bsz - 1) div 2)"),
     )
+    if share_blocks:
+        b = b.localCheckpoint(eager=False)
     lhs = b.select("_bk", F.col("_id").alias("id_a"), "_w_ppm")
     rhs = b.select("_bk", F.col("_id").alias("id_b"))
     return (
@@ -95,7 +116,13 @@ def prune_edges_wep(edges: DataFrame, weight_col: str = "cbs") -> DataFrame:
     Exact-integer test via cross-multiplication: ``w * n_edges >=
     total_weight`` (no float mean, no floor ambiguity).  The global
     aggregate is one scalar row, broadcast into the filter.
+
+    ``edges`` is consumed twice (the aggregate and the filter scan); one
+    lazy localCheckpoint keeps the upstream edge build — the expensive
+    block self-join + groupBy — from running twice (round-7; the same
+    shared-subtree materialization as ``comparison_edges``).
     """
+    edges = edges.localCheckpoint(eager=False)
     tot = edges.agg(
         F.sum(weight_col).cast("long").alias("_tw"),
         F.count("*").cast("long").alias("_ne"),
@@ -114,7 +141,15 @@ def prune_edges_wnp(edges: DataFrame, weight_col: str = "cbs") -> DataFrame:
 
     Node thresholds come from ONE groupBy over the exploded endpoints;
     the comparison is ``w * degree >= sum_w`` per endpoint, all BIGINT.
+
+    ``edges`` feeds three consumers (the endpoint explode and both join
+    probes) and ``node_stats`` two (the a/b threshold sides); each gets
+    one lazy localCheckpoint so the upstream edge build and the node
+    aggregate run exactly once instead of 3x/2x (round-7 shared-subtree
+    materialization; locally measured neutral at sf0.1 — the win is the
+    avoided recompute of the block self-join at scale).
     """
+    edges = edges.localCheckpoint(eager=False)
     ends = edges.select(
         F.explode(F.array("id_a", "id_b")).alias("_node"),
         F.col(weight_col).alias("_w"),
@@ -122,7 +157,7 @@ def prune_edges_wnp(edges: DataFrame, weight_col: str = "cbs") -> DataFrame:
     node_stats = ends.groupBy("_node").agg(
         F.sum("_w").cast("long").alias("_sw"),
         F.count("*").cast("long").alias("_deg"),
-    )
+    ).localCheckpoint(eager=False)
     a = node_stats.select(
         F.col("_node").alias("id_a"),
         F.col("_sw").alias("_sw_a"),
@@ -152,9 +187,14 @@ def prune_edges_cnp(
     """Cardinality Node Pruning: per-node top-k edges (weight desc,
     (id_a, id_b) asc tie-break), kept if EITHER endpoint retains the
     edge.  The window partitions by node — bounded by node degree,
-    never a global sort."""
+    never a global sort.
+
+    ``edges`` is consumed twice (the explode and the final join); one
+    lazy localCheckpoint keeps the upstream edge build from running
+    twice (round-7 shared-subtree materialization)."""
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
+    edges = edges.localCheckpoint(eager=False)
     ends = edges.select(
         F.explode(F.array("id_a", "id_b")).alias("_node"),
         "id_a", "id_b", F.col(weight_col).alias("_w"),
