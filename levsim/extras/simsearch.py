@@ -426,11 +426,21 @@ def embedding_neardup_pairs(
         # via executedPlan ArrowEvalPython count).  ids+bucket strings only,
         # so the materialized footprint is bands x (8B + ~12B) per vector.
         buckets = buckets.localCheckpoint(eager=False)
+        # width the dedup exchange by compute capacity, not bytes (round
+        # 7, same fix as candidates.candidate_pairs): the ids-only pair
+        # table AQE-coalesces to a couple of partitions, but every pair
+        # downstream pays a dim-wide interpreted cosine — explicit width
+        # keeps the verify stage parallel; the dropDuplicates reuses the
+        # partitioning (still one exchange).
+        n_part = (
+            corpus.sparkSession.sparkContext.defaultParallelism * 2
+        )
         pair_ids = (
             buckets.select(F.col("bucket"), F.col("id").alias("id_a"))
             .join(buckets.select(F.col("bucket"), F.col("id").alias("id_b")), "bucket")
             .where(F.col("id_a") < F.col("id_b"))
             .drop("bucket")
+            .repartition(n_part, "id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
         cand = pair_ids.join(c, "id_a").join(d, "id_b")
