@@ -89,7 +89,7 @@ def q_lev_ratio_pairs(spark, sf_dir):
     driver: a DuckDB value oracle needs the bit-parallel Myers DP as SQL
     (SURVEY §12), which requires either arbitrary-width bitwise ops or a
     3-arg ``list_reduce`` fold.  Re-probed every round per round-4 VERDICT
-    #2 — last probed 2026-08-17 (round 6; identical result round 5),
+    #2 — last probed 2026-08-21 (round 7; identical result rounds 5-6),
     duckdb 1.0.0:
       ``list_reduce([1,2,3], (acc, x) -> acc + x, 0)`` -> Binder Error:
       Invalid number of function arguments (no 3-arg form until 1.1);
