@@ -45,23 +45,27 @@ def connected_components(
     the component (deterministic, content-derived — stable across runs)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).dropDuplicates(["s", "d"])
     e = e.localCheckpoint()
-    nodes = e.select(F.col("s").alias("id")).union(e.select("d")).distinct()
+    # both-direction neighbor view, materialized ONCE (round 7): each round
+    # previously ran TWO label joins (s-side and d-side), i.e. two broadcast
+    # builds / two label shuffles per round; joining the pre-unioned (id,
+    # nbr) view needs one.  Ids-only rows (2|E|), eager so the per-round
+    # consumers read cache instead of racing a lazy materialization.
+    nbrs = e.select(F.col("s").alias("id"), F.col("d").alias("nbr")).union(
+        e.select(F.col("d").alias("id"), F.col("s").alias("nbr"))
+    ).localCheckpoint()
+    nodes = nbrs.select("id").distinct()
     labels = nodes.withColumn("comp", F.col("id"))
     labels = labels.repartition("id").localCheckpoint()
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        # neighbor labels in both directions
-        m1 = e.join(labels.withColumnRenamed("id", "s"), "s").select(
-            F.col("d").alias("id"), "comp"
-        )
-        m2 = e.join(labels.withColumnRenamed("id", "d"), "d").select(
-            F.col("s").alias("id"), "comp"
+        # neighbor labels (both directions via the nbrs view)
+        m = nbrs.join(labels.withColumnRenamed("id", "nbr"), "nbr").select(
+            "id", "comp"
         )
         new_labels = (
             labels.select("id", "comp")
-            .union(m1)
-            .union(m2)
+            .union(m)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )

@@ -226,13 +226,20 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     bands = bands.localCheckpoint(eager=False)
     a = bands.select(F.col("band_key"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = bands.select(F.col("band_key"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify BEFORE the dedup exchange (round 7, guide §2.3 "shuffle
+    # fewer bytes"): the bit_count test is a per-row JVM expression, so
+    # evaluating it on the raw band matches (a pair can match in up to
+    # max_hamming+1 bands) costs re-evaluated popcounts but drops every
+    # non-qualifying pair before the dropDuplicates shuffle.  Identical
+    # result set: hamming is a pure function of (sh_a, sh_b), which are
+    # equal across a pair's duplicate band rows.
     pairs = (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
         .drop("band_key")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming_bits", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming_bits") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.select("id_a", "id_b", "hamming_bits")
 
