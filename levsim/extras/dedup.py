@@ -313,12 +313,16 @@ def simhash_sql_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     a = bands.select("band_key", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = bands.select("band_key", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # same verify-before-dedup order as simhash_candidate_pairs (round
+    # 7): hamming is a pure function of the signatures, so filtering the
+    # raw band matches first shuffles only qualifying pairs — identical
+    # result set, and the DuckDB oracle is order-insensitive.
     return (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming_bits", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming_bits") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming_bits")
     )
 
