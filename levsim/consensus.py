@@ -153,9 +153,26 @@ def elect_representatives(
         F.lit(1).cast("long").alias("n_members"),
         F.col(text_col).alias("representative"),
     )
+    # Width the consensus exchange by COMPUTE capacity (round 7): the
+    # localCheckpoint above erases the window's partitioning info
+    # (LogicalRDD reports UnknownPartitioning), so applyInPandas inserts
+    # a fresh exchange that AQE then sizes by BYTES — at 20k docs / 5k
+    # multi-member clusters the election stage ran in ~5 tasks, 12.5s
+    # nearly serial, while per-cluster kernel cost (not bytes) is the
+    # real load.  An explicit repartition on cluster_id at the cluster's
+    # total cores feeds applyInPandas directly (one exchange, exempt
+    # from AQE coalescing): 17s -> ~2.7s at the 4x holdout corpus,
+    # neutral at sf0.1 (measured both).  Override with
+    # LEVSIM_CONSENSUS_PARTITIONS.
+    import os
+
+    n_part = int(os.environ.get("LEVSIM_CONSENSUS_PARTITIONS", "0")) or (
+        clustered.sparkSession.sparkContext.defaultParallelism
+    )
     multi = (
         df.where(F.col("_n") > 1)
         .drop("_n")
+        .repartition(n_part, "cluster_id")
         .groupBy("cluster_id")
         .applyInPandas(_consensus_fn(method, improve_rounds, text_col, id_col),
                        CONSENSUS_SCHEMA)
